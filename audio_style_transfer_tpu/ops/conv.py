@@ -1,0 +1,107 @@
+"""1-D convolution primitives for the WaveNet stack.
+
+The reference implements dilated conv1d through the ``time_to_batch``
+reshape trick + ``tf.nn.conv2d`` (reference nsynth/wavenet/masked.py:57-160)
+because TF1's GPU kernels lacked native 1-D dilation.  XLA:TPU has native
+dilated convolution, so here each op is a single
+``lax.conv_general_dilated`` that the compiler tiles straight onto the MXU
+— no reshape dance, no padding games.
+
+Padding equivalence with the reference (verified in tests/test_conv.py):
+  * non-causal, filter F, dilation d  ->  SAME inside each dilation phase
+    == symmetric pad of ((F-1)//2 * d) in real time;
+  * causal                            ->  (F-1) zeros at the head of each
+    phase == left pad of (F-1)*d in real time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
+
+
+def conv1d(
+    x,
+    w,
+    b=None,
+    *,
+    dilation: int = 1,
+    causal: bool = True,
+    accum_dtype=jnp.float32,
+):
+    """Dilated 1-D convolution (reference masked.py:110-160 semantics).
+
+    Args:
+      x: [batch, time, in_channels].
+      w: [filter_length, in_channels, out_channels] — the reference stores
+         TF kernels as [1, filter, in, out] (masked.py:136); the converter
+         squeezes that leading 1.
+      b: optional [out_channels] bias.
+      dilation: dilation rate in samples.
+      causal: left-pad only (decoder) vs symmetric (encoder).
+      accum_dtype: MXU accumulation dtype (keep float32 even for bf16 inputs).
+
+    Returns:
+      [batch, time, out_channels], same time length as the input.
+    """
+    filter_length = w.shape[0]
+    if filter_length == 1:
+        # 1x1 convolutions are plain feature matmuls; skip the conv op so XLA
+        # fuses them with neighbouring elementwise work more readily.
+        y = jnp.dot(x, w[0], preferred_element_type=accum_dtype)
+    else:
+        span = (filter_length - 1) * dilation
+        pad = (span, 0) if causal else (span // 2, span - span // 2)
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1,),
+            padding=[pad],
+            rhs_dilation=(dilation,),
+            dimension_numbers=_DIMENSION_NUMBERS,
+            preferred_element_type=accum_dtype,
+        )
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def pool1d(x, window_length: int, mode: str = "avg", stride: int | None = None):
+    """1-D pooling over time (reference masked.py:163-190).
+
+    With stride == window_length and time % window == 0 (the only way the
+    reference uses it: hop-512 average pooling at model.py:128) this is an
+    exact reshape + reduce, which XLA lowers to one fused reduction.
+    """
+    stride = stride or window_length
+    b, t, c = x.shape
+    assert t % window_length == 0 and stride == window_length, (
+        "only non-overlapping pooling is used by the model"
+    )
+    xr = x.reshape(b, t // window_length, window_length, c)
+    if mode == "avg":
+        return xr.mean(axis=2)
+    if mode == "max":
+        return xr.max(axis=2)
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
+def shift_right(x):
+    """Shift time right by one, zero-filling t=0 (reference masked.py:24-37)."""
+    return jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, : x.shape[1], :]
+
+
+def condition(x, encoding):
+    """Broadcast-add a hop-rate encoding onto a sample-rate signal.
+
+    Reference model.py:34-55 (`_condition`): x is [mb, length, channels],
+    encoding is [mb, enc_length, channels] with length % enc_length == 0.
+    """
+    mb, length, channels = x.shape
+    enc_mb, enc_length, enc_channels = encoding.shape
+    assert enc_mb == mb and enc_channels == channels
+    x = x.reshape(mb, enc_length, length // enc_length, channels)
+    x = x + encoding[:, :, None, :]
+    return x.reshape(mb, length, channels)
