@@ -1,0 +1,282 @@
+"""Style-transfer engine: the TPU-native equivalent of reference GatysNet.
+
+Orchestration mirrors reference methods.py:19-216 but the execution model
+is inverted: instead of a persistent TF graph + per-iteration SciPy host
+round-trips, the *entire multi-epoch optimization* — encoder forward,
+gram losses, L-BFGS direction/line-search, epoch loop with the reference's
+`< 50 evals` early stop (methods.py:180-181) — is one jitted XLA program.
+Per-epoch waveform snapshots come back in a single device->host transfer
+and artifacts (ep-N.wav, gram grids, spectrograms: methods.py:169-179)
+are written afterwards, byte-compatible with the reference's layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_style_transfer_tpu.models.wavenet_ae import WaveNetAEConfig
+from audio_style_transfer_tpu.signal.mu_law import inv_mu_law_numpy, mu_law_numpy
+from audio_style_transfer_tpu.transfer.grams import l2_normalize, select_style_layers
+from audio_style_transfer_tpu.transfer.lbfgs import LBFGSOptions, lbfgs_minimize
+from audio_style_transfer_tpu.transfer.losses import (
+    LossSpec,
+    transfer_embeds,
+    transfer_loss,
+)
+from audio_style_transfer_tpu.utils.audio_io import load_audio, write_wav
+
+
+@dataclasses.dataclass(frozen=True)
+class TransferSpec:
+    """Run configuration (the argparse surface of methods.py:243-271)."""
+
+    savepath: str = "./data/out"
+    logdir: str = "./log"
+    figdir: str = "./data/fig"
+    stack: int | None = 0
+    batch_size: int = 16384
+    sr: int = 16000
+    cont_lyr_ids: tuple = (29,)
+    nb_channels: int = 128
+    cnt_channels: int = 128
+    gatys: bool = False
+    style_lyr_ids: tuple | None = None
+    epochs: int = 100
+    lambd: float = 100.0
+    gamma: float = 0.0
+    maxiter: int = 100
+    early_stop_evals: int = 50  # epoch eval count below which the run stops
+    compute_dtype: str = "float32"  # or "bfloat16" for MXU peak throughput
+    write_artifacts: bool = True
+
+    @property
+    def late(self) -> int:
+        """Receptive-field edge trim (reference methods.py:39)."""
+        return (self.batch_size - (self.batch_size // 4096) * 4000) // 2
+
+
+class StyleTransfer:
+    """Builds the jitted loss/optimizer programs and runs transfers."""
+
+    def __init__(self, spec: TransferSpec, params, model_cfg: WaveNetAEConfig | None = None):
+        self.spec = spec
+        cfg = model_cfg or WaveNetAEConfig()
+        self.cfg = dataclasses.replace(
+            cfg, compute_dtype=jnp.dtype(spec.compute_dtype)
+        )
+        self.params = params
+        self.loss_spec = LossSpec(
+            cont_lyr_ids=tuple(spec.cont_lyr_ids),
+            style_layer_ids=tuple(
+                select_style_layers(cfg.ae_num_layers, spec.stack, spec.style_lyr_ids)
+            ),
+            cnt_channels=spec.cnt_channels,
+            nb_channels=spec.nb_channels,
+            gatys=spec.gatys,
+            lambd=spec.lambd,
+            gamma=spec.gamma,
+        )
+
+        self._embeds_fn = jax.jit(
+            lambda params, xq: transfer_embeds(params, xq, self.cfg, self.loss_spec)
+        )
+        self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
+
+    # ------------------------------------------------------------------ #
+    # Feature extraction (reference methods.py:86-111)
+    # ------------------------------------------------------------------ #
+
+    def get_embeds(self, aud: np.ndarray, is_content: bool = True) -> np.ndarray:
+        """Features of one window, fed in floor-mu-law space (methods.py:86-95)."""
+        aud = np.asarray(aud)
+        if aud.ndim == 1:
+            aud = aud[: self.spec.batch_size][None, :]
+        xq = jnp.asarray(mu_law_numpy(aud), jnp.float32)
+        c, s = self._embeds_fn(self.params, xq)
+        return np.asarray(c if is_content else s)
+
+    def get_style_phi(
+        self, audio: np.ndarray, max_examples: int = 5, show_mat: bool = False,
+        figdir: str | None = None,
+    ) -> np.ndarray:
+        """Chunked style-gram average (reference methods.py:97-111)."""
+        bs = self.spec.batch_size
+        n = min(len(audio), max_examples * bs) // bs
+        n = max(n, 1)
+        grams = [
+            self.get_embeds(audio[i * bs : (i + 1) * bs], is_content=False)
+            for i in range(n)
+        ]
+        phi = np.mean(grams, axis=0)
+        if show_mat and figdir:
+            from audio_style_transfer_tpu.analysis.viz import show_gram
+
+            show_gram(phi, figdir=figdir, gatys=self.spec.gatys)
+        return phi
+
+    # ------------------------------------------------------------------ #
+    # The fused optimization program
+    # ------------------------------------------------------------------ #
+
+    def _run_epochs(self, params, x0, phi_c, phi_s, *, epochs: int):
+        """All epochs in one XLA program (replaces methods.py:140-181).
+
+        Returns (snapshots [epochs, T], metrics [epochs, 4], evals [epochs],
+        epochs_done). Each epoch is a fresh maxiter-100 L-BFGS, matching the
+        per-epoch ``optim.minimize`` restarts of the reference.
+        """
+        spec = self.spec
+        opts = LBFGSOptions(maxiter=spec.maxiter)
+
+        def loss_fn(x):
+            return transfer_loss(params, x, phi_c, phi_s, self.cfg, self.loss_spec)
+
+        vg = jax.value_and_grad(lambda x: loss_fn(x)[0])
+
+        t = x0.shape[-1]
+        state = dict(
+            x=x0,
+            ep=jnp.array(0, jnp.int32),
+            done=jnp.array(False),
+            snapshots=jnp.zeros((epochs, t), jnp.float32),
+            metrics=jnp.zeros((epochs, 4), jnp.float32),
+            evals=jnp.zeros((epochs,), jnp.int32),
+        )
+
+        def cond(st):
+            return (~st["done"]) & (st["ep"] < epochs)
+
+        def body(st):
+            res = lbfgs_minimize(vg, st["x"], opts)
+            _, parts = loss_fn(res.x)
+            metrics_row = jnp.stack(
+                [parts["loss"], parts["content_loss"], parts["style_loss"],
+                 parts["regularizer"]]
+            )
+            ep = st["ep"]
+            return dict(
+                x=res.x,
+                ep=ep + 1,
+                done=res.n_evals < spec.early_stop_evals,
+                snapshots=st["snapshots"].at[ep].set(res.x[0].astype(jnp.float32)),
+                metrics=st["metrics"].at[ep].set(metrics_row),
+                evals=st["evals"].at[ep].set(res.n_evals),
+            )
+
+        st = jax.lax.while_loop(cond, body, state)
+        return st["snapshots"], st["metrics"], st["evals"], st["ep"]
+
+    def optimize(self, phi_c, phi_s, epochs: int | None = None, x0=None):
+        """Run the optimization; returns a host-side results dict."""
+        spec = self.spec
+        epochs = epochs or spec.epochs
+        if x0 is None:
+            # methods.py:49-54: zeros + 1e-6 in quantized space.
+            x0 = jnp.full((1, spec.batch_size), 1e-6, jnp.float32)
+        snapshots, metrics, evals, ep_done = self._epochs_fn(
+            self.params, x0, jnp.asarray(phi_c), jnp.asarray(phi_s), epochs=epochs
+        )
+        ep_done = int(ep_done)
+        return {
+            "snapshots": np.asarray(snapshots[:ep_done]),
+            "metrics": np.asarray(metrics[:ep_done]),
+            "evals": np.asarray(evals[:ep_done]),
+            "epochs_done": ep_done,
+            "x": np.asarray(snapshots[max(ep_done - 1, 0)])[None, :],
+        }
+
+    # ------------------------------------------------------------------ #
+    # Full run with file IO (reference methods.py:183-216)
+    # ------------------------------------------------------------------ #
+
+    def run(
+        self,
+        cont_file: str,
+        source: str,
+        target: str,
+        epochs: int | None = None,
+        audio_channel: int = 0,
+        start: float = 1.0,
+    ) -> np.ndarray:
+        spec = self.spec
+        late = spec.late
+        t0 = time.time()
+        if spec.write_artifacts:
+            os.makedirs(spec.savepath, exist_ok=True)
+            os.makedirs(spec.figdir, exist_ok=True)
+
+        style_audio_full, _ = load_audio(target, sr=spec.sr, audio_channel=audio_channel)
+        source_audio_full, _ = load_audio(source, sr=spec.sr, audio_channel=audio_channel)
+        phi_t = self.get_style_phi(
+            style_audio_full, show_mat=spec.write_artifacts, figdir=spec.figdir
+        )
+        phi_s = self.get_style_phi(source_audio_full)
+
+        aud, _ = load_audio(cont_file, sr=spec.sr, audio_channel=audio_channel)
+        st = int(start * spec.sr - late)
+        st = max(st, 0)
+        aud = aud[st : st + spec.batch_size]
+
+        if spec.write_artifacts:
+            os.makedirs(spec.savepath, exist_ok=True)
+            os.makedirs(spec.figdir, exist_ok=True)
+            from audio_style_transfer_tpu.analysis.spectrogram import plotstft
+
+            savep = os.path.join(spec.savepath, "ori.wav")
+            write_wav(savep, aud[late:-late], sr=spec.sr)
+            plotstft(savep, plotpath=os.path.join(spec.figdir, "ori-spec.png"))
+
+            style_aud = style_audio_full[st : st + spec.batch_size]
+            saves = os.path.join(spec.savepath, "style.wav")
+            write_wav(saves, style_aud[late:-late], sr=spec.sr)
+            plotstft(saves, plotpath=os.path.join(spec.figdir, "style-spec.png"))
+
+        phi_c = self.get_embeds(aud)
+        phi = self.get_embeds(aud, is_content=False)
+        if spec.write_artifacts:
+            from audio_style_transfer_tpu.analysis.viz import show_gram
+
+            show_gram(phi, ep=0, figdir=spec.figdir, gatys=spec.gatys)
+
+        # The gram-translation trick (methods.py:211-212).
+        phi = np.asarray(l2_normalize(jnp.asarray(phi + phi_t - phi_s), axes=(1, 2)))
+
+        result = self.optimize(phi_c, phi, epochs=epochs)
+        print(
+            f"optimized {result['epochs_done']} epochs in {time.time() - t0:.2f}s; "
+            f"final loss {result['metrics'][-1, 0]:.4f}"
+        )
+
+        if spec.write_artifacts:
+            self._write_epoch_artifacts(result)
+
+        return inv_mu_law_numpy(result["x"])[0]
+
+    def _write_epoch_artifacts(self, result) -> None:
+        """Emit per-epoch wav/gram/spectrogram files (methods.py:169-179)."""
+        from audio_style_transfer_tpu.analysis.spectrogram import plotstft
+        from audio_style_transfer_tpu.analysis.viz import show_gram
+
+        spec = self.spec
+        late = spec.late
+        for ep in range(result["epochs_done"]):
+            audio = inv_mu_law_numpy(result["snapshots"][ep])[late:-late]
+            sp = os.path.join(spec.savepath, f"ep-{ep}.wav")
+            write_wav(sp, audio / np.max(audio), sr=spec.sr)
+            # The reference evaluates embeds_s on the raw variable value
+            # (already in quantized space), NOT re-mu-lawed (methods.py:177).
+            _, grams = self._embeds_fn(
+                self.params, jnp.asarray(result["snapshots"][ep])[None, :]
+            )
+            grams = np.asarray(grams)
+            show_gram(grams, ep + 1, spec.figdir, gatys=spec.gatys)
+            plotstft(
+                sp, plotpath=os.path.join(spec.figdir, f"ep_{ep + 1}_spectro.png")
+            )

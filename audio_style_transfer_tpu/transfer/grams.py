@@ -1,0 +1,76 @@
+"""Feature embeddings and Gram statistics for style transfer.
+
+Two gram flavours (reference README.md:28-29, methods.py:62-76):
+
+* "ours" — channel-wise grams: stack the selected encoder taps into
+  [L, T, C], transpose to [C, L, T] and form per-channel layer x layer
+  grams [C, L, L] (methods.py:69,73);
+* Gatys — classic per-layer channel x channel grams [L, C, C]
+  (methods.py:71,73).
+
+Both are l2-normalized over their trailing two axes (methods.py:74).
+The content embedding concatenates selected taps along channels and drops
+the batch dim (methods.py:58).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def l2_normalize(x, axes=(1, 2), eps: float = 1e-12):
+    """tf.nn.l2_normalize semantics: x / sqrt(max(sum(x^2), eps))."""
+    sq = jnp.sum(jnp.square(x), axis=axes, keepdims=True)
+    return x * jnp.reciprocal(jnp.sqrt(jnp.maximum(sq, eps)))
+
+
+def select_style_layers(
+    num_layers: int = 30,
+    stack: int | None = None,
+    style_lyr_ids: Sequence[int] | None = None,
+) -> list[int]:
+    """Layer-id selection logic of reference methods.py:60-66."""
+    if style_lyr_ids is not None:
+        assert isinstance(style_lyr_ids, (tuple, list)), (
+            "style_lyr_ids must be of type tuple or list!"
+        )
+        return list(style_lyr_ids)
+    if stack is not None:
+        return list(range(stack * 10, stack * 10 + 10))
+    return list(range(num_layers))
+
+
+def content_embeds(extracts, cont_lyr_ids: Sequence[int], cnt_channels: int = 128):
+    """[T, cnt_channels * len(ids)] content feature (methods.py:58)."""
+    return jnp.concatenate(
+        [extracts[i][:, :, :cnt_channels] for i in cont_lyr_ids], axis=2
+    )[0]
+
+
+def style_gram(
+    extracts,
+    layer_ids: Sequence[int],
+    *,
+    gatys: bool = False,
+    nb_channels: int = 128,
+):
+    """Normalized Gram tensor over the selected taps (methods.py:62-76).
+
+    Returns [C, L, L] for "ours" (channel-wise) or [L, C, C] for Gatys.
+    Assumes batch size 1 (taps are [1, T, C]), exactly like the reference's
+    axis-0 concat.
+    """
+    stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)  # [L, T, C]
+    if not gatys:
+        stl = jnp.transpose(stl, (2, 0, 1))  # [C, L, T]
+    else:
+        stl = jnp.transpose(stl, (0, 2, 1))  # [L, C, T]
+    gram = jnp.matmul(
+        stl, jnp.transpose(stl, (0, 2, 1)), preferred_element_type=jnp.float32
+    ).astype(stl.dtype)
+    gram = l2_normalize(gram, axes=(1, 2))
+    if nb_channels < gram.shape[0] and not gatys:
+        gram = gram[:nb_channels]
+    return gram

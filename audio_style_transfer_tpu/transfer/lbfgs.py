@@ -1,0 +1,333 @@
+"""On-device L-BFGS with a strong-Wolfe zoom line search.
+
+This replaces the reference's SciPy round trip: reference methods.py:133-137
+wraps ``tf.contrib.opt.ScipyOptimizerInterface(method='L-BFGS-B')`` so each
+of the ~100 iterations/epoch ships loss+gradient device->host, runs Fortran
+L-BFGS-B, and ships the iterate host->device (~10,000 crossings per run —
+the dominant cost, see SURVEY.md §3.1).  Here the *entire* minimization is
+one XLA program: two-loop recursion over a fixed circular history inside a
+``lax.while_loop``, line search as a nested while loop, zero host syncs.
+
+The optimized variable is unbounded in the reference (no box constraints),
+so plain L-BFGS is exactly equivalent to L-BFGS-B.  Default tolerances
+mirror SciPy's (`factr=1e7 -> ftol ~ 2.22e-9`, `pgtol=1e-5`, `m=10`,
+`maxls=20`), and the result reports the *function-evaluation* count, which
+is what the reference's epoch early-stop compares against 50
+(methods.py:180-181 counts loss_callback invocations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSOptions:
+    maxiter: int = 100
+    memory: int = 10
+    # SciPy L-BFGS-B defaults: factr=1e7 => ftol = 1e7 * eps(float64).
+    ftol: float = 2.220446049250313e-09
+    gtol: float = 1e-05
+    maxls: int = 20
+    c1: float = 1e-4
+    c2: float = 0.9
+
+
+class LBFGSResult(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    n_iters: jax.Array  # outer iterations completed
+    n_evals: jax.Array  # value_and_grad evaluations (incl. the initial one)
+    status: jax.Array  # 0 converged(gtol) 1 converged(ftol) 2 maxiter 3 ls_fail
+
+
+def _two_loop(g, s_hist, y_hist, rho, head, count, gamma):
+    """H·g via the L-BFGS two-loop recursion on a circular history.
+
+    Invalid slots carry rho=0, which zeroes their contribution, so no
+    branching is needed — the loop is fully unrolled-friendly for XLA.
+    """
+    m = rho.shape[0]
+    q = g
+    alpha = jnp.zeros((m,), g.dtype)
+
+    def bwd(i, carry):
+        q, alpha = carry
+        idx = (head - 1 - i) % m
+        a = rho[idx] * jnp.vdot(s_hist[idx], q)
+        q = q - a * y_hist[idx]
+        return q, alpha.at[idx].set(a)
+
+    q, alpha = jax.lax.fori_loop(0, m, bwd, (q, alpha))
+    r = gamma * q
+
+    def fwd(i, r):
+        idx = (head - count + i) % m
+        beta = rho[idx] * jnp.vdot(y_hist[idx], r)
+        return r + s_hist[idx] * (alpha[idx] - beta)
+
+    return jax.lax.fori_loop(0, m, fwd, r)
+
+
+def _cubic_min(a, fa, dfa, b, fb, dfb):
+    """Minimizer of the cubic interpolant through (a,fa,dfa),(b,fb,dfb)."""
+    d1 = dfa + dfb - 3.0 * (fa - fb) / (a - b)
+    arg = d1 * d1 - dfa * dfb
+    d2 = jnp.sqrt(jnp.maximum(arg, 0.0)) * jnp.sign(b - a)
+    denom = dfb - dfa + 2.0 * d2
+    x = b - (b - a) * (dfb + d2 - d1) / denom
+    bad = (arg < 0.0) | (jnp.abs(denom) < 1e-20) | ~jnp.isfinite(x)
+    return jnp.where(bad, 0.5 * (a + b), x)
+
+
+def _wolfe_line_search(value_and_grad_1d, f0, dphi0, a_init, opts: LBFGSOptions):
+    """Strong-Wolfe line search (Nocedal & Wright alg. 3.5/3.6) as one
+    while_loop state machine: stage 0 brackets, stage 1 zooms.
+
+    ``value_and_grad_1d(a)`` must return (f, dphi, g) at step size a.
+
+    Returns (a, f, g, dphi, n_evals, ok).
+    """
+    c1, c2 = opts.c1, opts.c2
+    zero = jnp.asarray(0.0, f0.dtype)
+
+    def eval_at(a):
+        return value_and_grad_1d(a)
+
+    init = dict(
+        stage=jnp.array(0, jnp.int32),
+        i=jnp.array(0, jnp.int32),
+        a_prev=zero, f_prev=f0, dphi_prev=dphi0,
+        a_lo=zero, f_lo=f0, dphi_lo=dphi0,
+        a_hi=zero, f_hi=f0, dphi_hi=dphi0,
+        a=jnp.asarray(a_init, f0.dtype),
+        n_evals=jnp.array(0, jnp.int32),
+        done=jnp.array(False),
+        ok=jnp.array(False),
+        a_star=zero, f_star=f0, dphi_star=dphi0,
+    )
+
+    def cond(st):
+        return (~st["done"]) & (st["n_evals"] < opts.maxls)
+
+    def body(st):
+        f_a, dphi_a, _ = eval_at(st["a"])
+        n_evals = st["n_evals"] + 1
+        armijo_fail = (f_a > f0 + c1 * st["a"] * dphi0) | (
+            (f_a >= st["f_prev"]) & (st["i"] > 0) & (st["stage"] == 0)
+        )
+        strong_wolfe = jnp.abs(dphi_a) <= -c2 * dphi0
+
+        def bracket_step(st):
+            # stage 0: expanding search
+            found_hi = armijo_fail
+            found_lo_hi_swap = (~armijo_fail) & (dphi_a >= 0.0)
+            accept = (~armijo_fail) & strong_wolfe
+
+            new = dict(st)
+            new["n_evals"] = n_evals
+            new["i"] = st["i"] + 1
+            # accept
+            new["done"] = accept
+            new["ok"] = accept
+            new["a_star"] = jnp.where(accept, st["a"], st["a_star"])
+            new["f_star"] = jnp.where(accept, f_a, st["f_star"])
+            new["dphi_star"] = jnp.where(accept, dphi_a, st["dphi_star"])
+            # switch to zoom with (prev, a) bracket
+            go_zoom = (found_hi | found_lo_hi_swap) & ~accept
+            lo_is_prev = found_hi
+            new["stage"] = jnp.where(go_zoom, 1, st["stage"])
+            new["a_lo"] = jnp.where(go_zoom, jnp.where(lo_is_prev, st["a_prev"], st["a"]), st["a_lo"])
+            new["f_lo"] = jnp.where(go_zoom, jnp.where(lo_is_prev, st["f_prev"], f_a), st["f_lo"])
+            new["dphi_lo"] = jnp.where(go_zoom, jnp.where(lo_is_prev, st["dphi_prev"], dphi_a), st["dphi_lo"])
+            new["a_hi"] = jnp.where(go_zoom, jnp.where(lo_is_prev, st["a"], st["a_prev"]), st["a_hi"])
+            new["f_hi"] = jnp.where(go_zoom, jnp.where(lo_is_prev, f_a, st["f_prev"]), st["f_hi"])
+            new["dphi_hi"] = jnp.where(go_zoom, jnp.where(lo_is_prev, dphi_a, st["dphi_prev"]), st["dphi_hi"])
+            # otherwise expand
+            expand = ~accept & ~go_zoom
+            new["a_prev"] = jnp.where(expand, st["a"], st["a_prev"])
+            new["f_prev"] = jnp.where(expand, f_a, st["f_prev"])
+            new["dphi_prev"] = jnp.where(expand, dphi_a, st["dphi_prev"])
+            new["a"] = jnp.where(expand, 2.0 * st["a"], st["a"])
+            # when entering zoom, next trial comes from interpolation below
+            return new
+
+        def zoom_step(st):
+            new = dict(st)
+            new["n_evals"] = n_evals
+            new["i"] = st["i"] + 1
+            zoom_armijo_fail = (f_a > f0 + c1 * st["a"] * dphi0) | (f_a >= st["f_lo"])
+
+            accept = (~zoom_armijo_fail) & strong_wolfe
+            new["done"] = accept
+            new["ok"] = accept
+            new["a_star"] = jnp.where(accept, st["a"], st["a_star"])
+            new["f_star"] = jnp.where(accept, f_a, st["f_star"])
+            new["dphi_star"] = jnp.where(accept, dphi_a, st["dphi_star"])
+
+            # shrink bracket
+            hi_to_a = zoom_armijo_fail
+            # if derivative sign indicates, hi <- lo before lo <- a
+            flip = (~zoom_armijo_fail) & (dphi_a * (st["a_hi"] - st["a_lo"]) >= 0.0)
+            new["a_hi"] = jnp.where(hi_to_a, st["a"], jnp.where(flip, st["a_lo"], st["a_hi"]))
+            new["f_hi"] = jnp.where(hi_to_a, f_a, jnp.where(flip, st["f_lo"], st["f_hi"]))
+            new["dphi_hi"] = jnp.where(hi_to_a, dphi_a, jnp.where(flip, st["dphi_lo"], st["dphi_hi"]))
+            lo_to_a = ~zoom_armijo_fail
+            new["a_lo"] = jnp.where(lo_to_a, st["a"], st["a_lo"])
+            new["f_lo"] = jnp.where(lo_to_a, f_a, st["f_lo"])
+            new["dphi_lo"] = jnp.where(lo_to_a, dphi_a, st["dphi_lo"])
+            return new
+
+        st2 = jax.lax.cond(st["stage"] == 0, bracket_step, zoom_step, st)
+
+        # choose next trial point when still running
+        def next_trial(st2):
+            in_zoom = st2["stage"] == 1
+            a_cubic = _cubic_min(
+                st2["a_lo"], st2["f_lo"], st2["dphi_lo"],
+                st2["a_hi"], st2["f_hi"], st2["dphi_hi"],
+            )
+            lo, hi = st2["a_lo"], st2["a_hi"]
+            lo_, hi_ = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+            width = hi_ - lo_
+            a_safe = jnp.clip(a_cubic, lo_ + 0.1 * width, hi_ - 0.1 * width)
+            st2["a"] = jnp.where(in_zoom, a_safe, st2["a"])
+            # degenerate bracket: give up
+            st2["done"] = st2["done"] | (in_zoom & (width <= 1e-10 * jnp.maximum(1.0, hi_)))
+            return st2
+
+        return next_trial(st2)
+
+    st = jax.lax.while_loop(cond, body, init)
+    # On failure take the best bracketing point (a_lo) if it improves f0.
+    salvage = (~st["ok"]) & (st["f_lo"] < f0) & (st["a_lo"] > 0.0)
+    a = jnp.where(st["ok"], st["a_star"], jnp.where(salvage, st["a_lo"], 0.0))
+    ok = st["ok"] | salvage
+    return a, st["n_evals"], ok
+
+
+def lbfgs_minimize(
+    value_and_grad: Callable,
+    x0: jax.Array,
+    opts: LBFGSOptions = LBFGSOptions(),
+) -> LBFGSResult:
+    """Minimize ``f`` with L-BFGS, fully on device.
+
+    Args:
+      value_and_grad: callable x -> (f, g) with x, g shaped like ``x0``.
+        (Build with ``jax.value_and_grad``; any pytree is supported by
+        flattening outside.)
+      x0: initial point (any shape; treated as a flat vector internally).
+
+    Returns:
+      LBFGSResult with the final iterate and counters. Wrap the call in
+      ``jax.jit`` for a single fused XLA program.
+    """
+    shape = x0.shape
+    x0 = x0.reshape(-1)
+    n = x0.size
+    m = opts.memory
+    dtype = x0.dtype
+
+    def vg(x):
+        f, g = value_and_grad(x.reshape(shape))
+        return f.astype(dtype), g.reshape(-1).astype(dtype)
+
+    f0, g0 = vg(x0)
+
+    state = dict(
+        x=x0, f=f0, g=g0,
+        s_hist=jnp.zeros((m, n), dtype),
+        y_hist=jnp.zeros((m, n), dtype),
+        rho=jnp.zeros((m,), dtype),
+        head=jnp.array(0, jnp.int32),
+        count=jnp.array(0, jnp.int32),
+        gamma=jnp.asarray(1.0, dtype),
+        k=jnp.array(0, jnp.int32),
+        n_evals=jnp.array(1, jnp.int32),
+        status=jnp.array(2, jnp.int32),  # default: maxiter
+        done=jnp.array(False),
+    )
+
+    def cond(st):
+        return (~st["done"]) & (st["k"] < opts.maxiter)
+
+    def body(st):
+        d = -_two_loop(
+            st["g"], st["s_hist"], st["y_hist"], st["rho"],
+            st["head"], st["count"], st["gamma"],
+        )
+        dphi0 = jnp.vdot(st["g"], d)
+        # Safeguard: if not a descent direction, restart with steepest descent.
+        bad_dir = dphi0 >= 0.0
+        d = jnp.where(bad_dir, -st["g"], d)
+        dphi0 = jnp.where(bad_dir, -jnp.vdot(st["g"], st["g"]), dphi0)
+
+        # First-iteration step length mirrors SciPy: 1/||g||_inf-ish scaling.
+        a_init = jnp.where(
+            st["k"] == 0,
+            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(st["g"]))),
+            1.0,
+        ).astype(dtype)
+
+        x, f, g = st["x"], st["f"], st["g"]
+
+        def vg_1d(a):
+            fa, ga = vg(x + a * d)
+            return fa, jnp.vdot(ga, d), ga
+
+        a, ls_evals, ok = _wolfe_line_search(vg_1d, f, dphi0, a_init, opts)
+        # Re-evaluate at the accepted point (cheap relative to search; keeps
+        # the state machine simple and the returned g exact).
+        f_new, g_new = vg(x + a * d)
+        x_new = x + a * d
+
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.vdot(s, y)
+        curv_ok = sy > 1e-10 * jnp.vdot(y, y)
+        idx = st["head"] % m
+        s_hist = jnp.where(curv_ok, st["s_hist"].at[idx].set(s), st["s_hist"])
+        y_hist = jnp.where(curv_ok, st["y_hist"].at[idx].set(y), st["y_hist"])
+        rho = jnp.where(curv_ok, st["rho"].at[idx].set(1.0 / sy), st["rho"])
+        head = jnp.where(curv_ok, st["head"] + 1, st["head"])
+        count = jnp.where(curv_ok, jnp.minimum(st["count"] + 1, m), st["count"])
+        gamma = jnp.where(curv_ok, sy / jnp.vdot(y, y), st["gamma"])
+
+        # Convergence tests (SciPy semantics).
+        gtol_hit = jnp.max(jnp.abs(g_new)) <= opts.gtol
+        ftol_hit = (f - f_new) <= opts.ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0
+        )
+        ls_failed = ~ok
+
+        status = jnp.where(
+            gtol_hit, 0, jnp.where(ftol_hit, 1, jnp.where(ls_failed, 3, st["status"]))
+        )
+
+        return dict(
+            x=jnp.where(ok, x_new, x),
+            f=jnp.where(ok, f_new, f),
+            g=jnp.where(ok, g_new, g),
+            s_hist=s_hist, y_hist=y_hist, rho=rho,
+            head=head, count=count, gamma=gamma,
+            k=st["k"] + 1,
+            n_evals=st["n_evals"] + ls_evals + 1,
+            status=status,
+            done=gtol_hit | ftol_hit | ls_failed,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return LBFGSResult(
+        x=st["x"].reshape(shape),
+        f=st["f"],
+        g=st["g"].reshape(shape),
+        n_iters=st["k"],
+        n_evals=st["n_evals"],
+        status=st["status"],
+    )
