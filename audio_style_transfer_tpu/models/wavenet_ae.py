@@ -52,7 +52,12 @@ class WaveNetAEConfig:
     compute_dtype: Any = jnp.float32
 
     def dilation(self, layer: int) -> int:
+        """Decoder dilation pattern (reference model.py:149)."""
         return 2 ** (layer % self.num_stages)
+
+    def ae_dilation(self, layer: int) -> int:
+        """Encoder dilation pattern (reference model.py:98)."""
+        return 2 ** (layer % self.ae_num_stages)
 
     # -- learning-rate schedule (reference model.py:13-21) ------------------
     learning_rate_schedule = {
@@ -114,6 +119,75 @@ def _apply(params: Params, name: str, x, *, dilation=1, causal=True, dtype=None)
     return conv1d(x, w, b, dilation=dilation, causal=causal)
 
 
+def encoder_trunk(
+    params: Params,
+    x_quantized,
+    cfg: WaveNetAEConfig | None = None,
+    valid_mask=None,
+):
+    """Encoder taps *without* the hop pooling (works on any time length).
+
+    Factored out so the time-sharded (halo-exchange) path in parallel/halo.py
+    can run the trunk on halo-extended chunks whose length is not a multiple
+    of the hop.
+
+    Args:
+      valid_mask: optional [time] 0/1 mask marking positions inside the
+        *global* sequence. Positions outside are re-zeroed after every trunk
+        state so each conv sees exactly the zeros that single-device SAME
+        padding would have produced (zero input alone is NOT enough — biases
+        make activations over padding nonzero).
+
+    Returns the full 32-entry ``extracts`` list (see module docstring).
+    """
+    cfg = cfg or WaveNetAEConfig()
+    dtype = cfg.compute_dtype
+    x_scaled = (x_quantized.astype(jnp.float32) / 128.0).astype(dtype)[..., None]
+    if valid_mask is not None:
+        valid_mask = valid_mask.astype(dtype)[None, :, None]
+
+    def masked(e):
+        return e if valid_mask is None else e * valid_mask
+
+    enc = masked(_apply(params, "ae_startconv", x_scaled, causal=False, dtype=dtype))
+    extracts = []
+    for k in range(1, cfg.ae_num_layers + 1):
+        d = jax.nn.relu(enc)
+        d = _apply(
+            params,
+            f"ae_dilatedconv_{k}",
+            d,
+            dilation=cfg.ae_dilation(k - 1),
+            causal=False,
+            dtype=dtype,
+        )
+        d = jax.nn.relu(d)
+        d = _apply(params, f"ae_res_{k}", d, dtype=dtype)
+        enc = masked(enc + d)
+        extracts.append(enc)
+
+    # enc_ duplicate tap (reference model.py:118-119)
+    extracts.append(enc)
+
+    bottleneck = _apply(params, "ae_bottleneck", enc, dtype=dtype)
+    extracts.append(bottleneck)
+    return extracts
+
+
+def receptive_field_radius(cfg: WaveNetAEConfig | None = None) -> int:
+    """One-sided receptive field of the encoder trunk in samples.
+
+    startconv contributes (F-1)//2 = 1; each dilated layer contributes its
+    dilation (filter 3, symmetric). For the full geometry this is
+    1 + 3 * (2^10 - 1) = 3070 (SURVEY.md §7 hard-part #5).
+    """
+    cfg = cfg or WaveNetAEConfig()
+    r = (cfg.ae_filter_length - 1) // 2
+    for k in range(cfg.ae_num_layers):
+        r += cfg.ae_dilation(k) * ((cfg.ae_filter_length - 1) // 2)
+    return r
+
+
 def encoder_extracts(params: Params, x_quantized, cfg: WaveNetAEConfig | None = None):
     """Run the non-causal temporal encoder, returning all feature taps.
 
@@ -127,33 +201,8 @@ def encoder_extracts(params: Params, x_quantized, cfg: WaveNetAEConfig | None = 
       [batch, time, bottleneck]); encoding is [batch, time/hop, bottleneck].
     """
     cfg = cfg or WaveNetAEConfig()
-    dtype = cfg.compute_dtype
-    x_scaled = (x_quantized.astype(jnp.float32) / 128.0).astype(dtype)[..., None]
-
-    enc = _apply(params, "ae_startconv", x_scaled, causal=False, dtype=dtype)
-    extracts = []
-    for k in range(1, cfg.ae_num_layers + 1):
-        d = jax.nn.relu(enc)
-        d = _apply(
-            params,
-            f"ae_dilatedconv_{k}",
-            d,
-            dilation=cfg.dilation(k - 1),
-            causal=False,
-            dtype=dtype,
-        )
-        d = jax.nn.relu(d)
-        d = _apply(params, f"ae_res_{k}", d, dtype=dtype)
-        enc = enc + d
-        extracts.append(enc)
-
-    # enc_ duplicate tap (reference model.py:118-119)
-    extracts.append(enc)
-
-    bottleneck = _apply(params, "ae_bottleneck", enc, dtype=dtype)
-    extracts.append(bottleneck)
-
-    encoding = pool1d(bottleneck, cfg.ae_hop_length, mode="avg")
+    extracts = encoder_trunk(params, x_quantized, cfg)
+    encoding = pool1d(extracts[-1], cfg.ae_hop_length, mode="avg")
     return extracts, encoding
 
 

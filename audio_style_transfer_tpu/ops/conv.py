@@ -47,10 +47,14 @@ def conv1d(
       [batch, time, out_channels], same time length as the input.
     """
     filter_length = w.shape[0]
+    # preferred_element_type=f32 on bf16 operands breaks the conv transpose
+    # rule (the cotangent arrives in f32); the TPU MXU already accumulates
+    # bf16 products in f32 internally, so only force it for f32 inputs.
+    preferred = accum_dtype if x.dtype == accum_dtype else None
     if filter_length == 1:
         # 1x1 convolutions are plain feature matmuls; skip the conv op so XLA
         # fuses them with neighbouring elementwise work more readily.
-        y = jnp.dot(x, w[0], preferred_element_type=accum_dtype)
+        y = jnp.dot(x, w[0], preferred_element_type=preferred)
     else:
         span = (filter_length - 1) * dilation
         pad = (span, 0) if causal else (span // 2, span - span // 2)
@@ -61,7 +65,7 @@ def conv1d(
             padding=[pad],
             rhs_dilation=(dilation,),
             dimension_numbers=_DIMENSION_NUMBERS,
-            preferred_element_type=accum_dtype,
+            preferred_element_type=preferred,
         )
     if b is not None:
         y = y + b

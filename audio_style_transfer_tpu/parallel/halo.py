@@ -1,0 +1,166 @@
+"""Time-axis sharding of the encoder with halo exchange — the
+context-parallel analogue for a dilated conv stack (SURVEY.md §2d).
+
+The reference scales long audio by *chunking* on the host with gram
+averaging (reference methods.py:97-111).  That stays available (and is
+embarrassingly parallel), but it changes semantics at chunk borders.  This
+module instead computes the *exact* full-sequence encoder over a sequence
+sharded across devices:
+
+1. each device holds a contiguous time chunk of the waveform;
+2. one ``ppermute`` round exchanges the encoder's full one-sided receptive
+   field R = 3070 samples (models.wavenet_ae.receptive_field_radius) with
+   both neighbours over ICI;
+3. every device runs the trunk on its halo-extended chunk and crops R from
+   each side — recompute cost 2R/chunk (~4% at 5s chunks) in exchange for a
+   single small collective instead of 31 per-layer exchanges;
+4. Gram statistics are *time sums*, so the exact global gram is the psum of
+   local partial grams; content features stay sharded.
+
+Result: the transfer loss (and its gradient, which reverses the same
+collectives automatically) over a 60-second clip runs as one SPMD program
+on a v5e-8 with identical numerics to a single giant device.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from audio_style_transfer_tpu.models.wavenet_ae import (
+    WaveNetAEConfig,
+    encoder_trunk,
+    receptive_field_radius,
+)
+from audio_style_transfer_tpu.signal.mu_law import inv_mu_law
+from audio_style_transfer_tpu.signal.stft import stft_l1
+from audio_style_transfer_tpu.transfer.grams import l2_normalize
+from audio_style_transfer_tpu.transfer.losses import LossSpec
+
+
+def _exchange_halos(x_local, radius: int, axis_name: str):
+    """Fetch ``radius`` samples from both neighbours of a [B, chunk] shard.
+
+    Edge devices receive zeros (SAME-padding semantics at the global edges,
+    matching the single-device encoder's zero padding).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # Send my right edge to my right neighbour -> arrives as his left halo.
+    right_edge = x_local[:, -radius:]
+    left_halo = jax.lax.ppermute(
+        right_edge, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    left_halo = jnp.where(idx == 0, jnp.zeros_like(left_halo), left_halo)
+
+    # Send my left edge to my left neighbour -> arrives as his right halo.
+    left_edge = x_local[:, :radius]
+    right_halo = jax.lax.ppermute(
+        left_edge, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    right_halo = jnp.where(idx == n - 1, jnp.zeros_like(right_halo), right_halo)
+
+    return jnp.concatenate([left_halo, x_local, right_halo], axis=1)
+
+
+def time_sharded_trunk(params, x_local, cfg: WaveNetAEConfig, axis_name: str = "time"):
+    """Per-shard encoder trunk with exact full-sequence semantics.
+
+    Call inside ``shard_map`` with the waveform sharded as P(None, axis).
+    Returns the 32 extracts cropped back to the local chunk.
+    """
+    radius = receptive_field_radius(cfg)
+    x_ext = _exchange_halos(x_local, radius, axis_name)
+
+    # Mark which extended positions lie inside the global sequence: only the
+    # first/last devices carry out-of-range halo (their neighbours across the
+    # ring wrap don't exist). The trunk re-zeroes masked positions per layer
+    # so SAME-padding numerics match the single-device encoder exactly.
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    chunk = x_local.shape[1]
+    pos = jnp.arange(chunk + 2 * radius)
+    valid = jnp.where(idx == 0, pos >= radius, True) & jnp.where(
+        idx == n - 1, pos < chunk + radius, True
+    )
+
+    extracts = encoder_trunk(params, x_ext, cfg, valid_mask=valid)
+    return [e[:, radius:-radius, :] for e in extracts]
+
+
+def _local_grams(extracts, layer_ids: Sequence[int], gatys: bool):
+    """Unnormalized partial grams of a local time chunk."""
+    stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)  # [L, t, C]
+    if not gatys:
+        stl = jnp.transpose(stl, (2, 0, 1))  # [C, L, t]
+    else:
+        stl = jnp.transpose(stl, (0, 2, 1))  # [L, C, t]
+    return jnp.matmul(
+        stl, jnp.transpose(stl, (0, 2, 1)), preferred_element_type=jnp.float32
+    )
+
+
+def make_sharded_loss(
+    params,
+    phi_c,
+    phi_s,
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    mesh: Mesh,
+    axis_name: str = "time",
+):
+    """Build loss(x) over a time-sharded waveform with exact global numerics.
+
+    ``phi_c`` is the [T, C] content target (sharded over T on the mesh) and
+    ``phi_s`` the (replicated) gram target. Returns a jitted callable
+    x [1, T] -> scalar loss usable under jax.grad.
+    """
+
+    def local_loss(params, x_local, phi_c_local, phi_s_rep):
+        extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
+
+        # Content term: local MSE partial sums -> pmean is exact because all
+        # shards are equal length.
+        c_local = jnp.concatenate(
+            [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
+            axis=2,
+        )[0]
+        content_sq = jnp.mean(jnp.square(c_local - phi_c_local))
+        content_loss = jax.lax.pmean(content_sq, axis_name) * 10.0
+
+        # Style term: grams are time sums -> psum then normalize = exact.
+        gram = jax.lax.psum(
+            _local_grams(extracts, spec.style_layer_ids, spec.gatys), axis_name
+        )
+        gram = l2_normalize(gram, axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        style_loss = jnp.mean(jnp.square(gram - phi_s_rep)) * 1e3
+
+        loss = content_loss + spec.lambd * style_loss
+        if spec.gamma != 0.0:
+            # Regularizer: framewise L1 of the local STFT; frames never
+            # straddle shards when chunk % frame_step == 0, so the pmean
+            # matches the non-centered global STFT up to the dropped
+            # cross-boundary frames.
+            reg = jax.lax.pmean(stft_l1(inv_mu_law(x_local[0])), axis_name)
+            loss = loss + spec.gamma * reg
+        return loss
+
+    sharded = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss(x):
+        return sharded(params, x, phi_c, phi_s)
+
+    return loss

@@ -1,0 +1,212 @@
+"""Synchronous data-parallel WaveNet-AE training.
+
+TPU-native re-design of reference nsynth/wavenet/train.py:53-132:
+
+* the piecewise-constant lr ``tf.cond`` chain (train.py:88-92) becomes a
+  vectorized schedule lookup;
+* ``SyncReplicasOptimizer(Adam) + EMA`` (train.py:101-108) becomes
+  optax Adam with a gradient ``psum`` over the mesh's ``data`` axis inside
+  ``shard_map`` — the parameter servers disappear, weights are replicated;
+* ``slim.learning.train`` checkpoint/resume (train.py:121-132) becomes
+  orbax checkpoints with step-tagged directories.
+
+The per-step program (forward + backward + all-reduce + Adam + EMA) is one
+jitted XLA computation; the only host work is feeding batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from audio_style_transfer_tpu.models.wavenet_ae import (
+    Params,
+    WaveNetAEConfig,
+    forward,
+    init_params,
+)
+
+
+def learning_rate(step, schedule: dict[int, float] | None = None):
+    """Piecewise-constant schedule (reference model.py:13-21, train.py:88-92)."""
+    schedule = schedule or WaveNetAEConfig.learning_rate_schedule
+    boundaries = np.asarray(sorted(schedule.keys()), np.int32)
+    values = np.asarray([schedule[int(b)] for b in boundaries], np.float32)
+    idx = jnp.sum(step >= jnp.asarray(boundaries)) - 1
+    idx = jnp.clip(idx, 0, len(values) - 1)
+    return jnp.asarray(values)[idx]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    total_batch_size: int = 32
+    sample_length: int = 6144
+    num_iters: int = 200000
+    ema_decay: float = 0.9999
+    adam_epsilon: float = 1e-8
+    logdir: str = "/tmp/nsynth"
+    save_every_steps: int = 1000
+    log_every_steps: int = 250
+
+
+# Train state is a plain dict pytree: {params, opt_state, ema, step}.
+TrainState = dict
+
+
+def _make_optimizer(cfg: TrainConfig):
+    return optax.adam(
+        learning_rate=lambda step: learning_rate(step),
+        eps=cfg.adam_epsilon,
+    )
+
+
+class Trainer:
+    """Owns the jitted DP train step and the checkpoint lifecycle."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig | None = None,
+        model_cfg: WaveNetAEConfig | None = None,
+        mesh: Mesh | None = None,
+        rng: jax.Array | None = None,
+    ):
+        self.cfg = cfg or TrainConfig()
+        self.model_cfg = model_cfg or WaveNetAEConfig()
+        if mesh is None:
+            from audio_style_transfer_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.optimizer = _make_optimizer(self.cfg)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, params: Params | None = None) -> TrainState:
+        if params is None:
+            params = init_params(self._rng, self.model_cfg)
+        return dict(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema=jax.tree.map(jnp.copy, params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _build_step(self):
+        model_cfg = self.model_cfg
+        cfg = self.cfg
+        optimizer = self.optimizer
+        axis = self.axis
+
+        def loss_fn(params, wav):
+            out = forward(params, {"wav": wav}, model_cfg)
+            return out["loss"]
+
+        def per_device_step(state: TrainState, wav):
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"], wav)
+            # Synchronous DP: mean-reduce gradients over ICI
+            # (replaces SyncReplicasOptimizer aggregation, train.py:103-108).
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            # TF-style EMA with num_updates ramp-in
+            # (tf.train.ExponentialMovingAverage, train.py:101-102).
+            step = state["step"]
+            decay = jnp.minimum(
+                cfg.ema_decay, (1.0 + step.astype(jnp.float32)) / (10.0 + step)
+            )
+            ema = jax.tree.map(
+                lambda e, p: e * decay + p * (1.0 - decay), state["ema"], params
+            )
+            new_state = dict(
+                params=params, opt_state=opt_state, ema=ema, step=step + 1
+            )
+            return new_state, loss
+
+        sharded = shard_map(
+            per_device_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def step(self, state: TrainState, wav: np.ndarray):
+        """One synchronous DP step. ``wav`` is the global batch [B, T]."""
+        return self._step_fn(state, jnp.asarray(wav, jnp.float32))
+
+    # ------------------------------------------------------------------ #
+
+    def fit(
+        self,
+        state: TrainState,
+        batches: Iterator[dict],
+        num_steps: int | None = None,
+        log=print,
+    ) -> TrainState:
+        cfg = self.cfg
+        num_steps = num_steps or cfg.num_iters
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            if i >= num_steps:
+                break
+            state, loss = self.step(state, batch["wav"])
+            step = int(state["step"])
+            if step % cfg.log_every_steps == 0:
+                log(
+                    f"step {step} loss {float(loss):.4f} "
+                    f"({step / (time.time() - t0):.2f} steps/s)"
+                )
+            if cfg.save_every_steps and step % cfg.save_every_steps == 0:
+                self.save(state)
+        return state
+
+    # ------------------------------------------------------------------ #
+    # Checkpointing (reference ckpt cadence: train.py:130; resume semantics
+    # of slim.learning.train's supervisor).
+    # ------------------------------------------------------------------ #
+
+    def _ckpt_dir(self, step: int) -> str:
+        return os.path.join(os.path.abspath(self.cfg.logdir), f"ckpt-{step}")
+
+    def save(self, state: TrainState) -> str:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(int(state["step"]))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, dict(state), force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore(self, step: int | None = None) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        logdir = os.path.abspath(self.cfg.logdir)
+        if step is None:
+            steps = [
+                int(d.split("-")[1])
+                for d in os.listdir(logdir)
+                if d.startswith("ckpt-")
+            ]
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints under {logdir}")
+            step = max(steps)
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.tree.map(np.asarray, dict(self.init_state()))
+        restored = ckptr.restore(self._ckpt_dir(step), template)
+        return restored

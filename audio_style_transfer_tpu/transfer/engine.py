@@ -71,7 +71,12 @@ class StyleTransfer:
         self.cfg = dataclasses.replace(
             cfg, compute_dtype=jnp.dtype(spec.compute_dtype)
         )
-        self.params = params
+        # Pre-cast weights to the compute dtype once; otherwise every L-BFGS
+        # evaluation re-casts all 30 layers inside the hot while_loop.
+        dtype = self.cfg.compute_dtype
+        self.params = jax.tree.map(
+            lambda v: v.astype(dtype) if hasattr(v, "astype") else v, params
+        )
         self.loss_spec = LossSpec(
             cont_lyr_ids=tuple(spec.cont_lyr_ids),
             style_layer_ids=tuple(

@@ -63,8 +63,13 @@ def transfer_loss(params, x_quantized, phi_c, phi_s, cfg: WaveNetAEConfig, spec:
     c, s = transfer_embeds(params, x_quantized, cfg, spec)
     content_loss = jnp.mean(jnp.square(c - phi_c)) * 10.0
     style_loss = jnp.mean(jnp.square(s - phi_s)) * 1e3
-    a = inv_mu_law(x_quantized[0])
-    regularizer = stft_l1(a, frame_length=1024, frame_step=512)
+    if spec.gamma != 0.0:
+        a = inv_mu_law(x_quantized[0])
+        regularizer = stft_l1(a, frame_length=1024, frame_step=512)
+    else:
+        # gamma is the CLI default 0.0 (methods.py:257) in most runs; skip
+        # building the STFT + its backward pass entirely in that case.
+        regularizer = jnp.asarray(0.0, jnp.float32)
     loss = content_loss + spec.lambd * style_loss + spec.gamma * regularizer
     return loss, {
         "loss": loss,

@@ -1,0 +1,122 @@
+"""Benchmark: style-transfer throughput on a 16384-sample clip.
+
+Driver metric (BASELINE.json): style-transfer iters/sec on a 16384-sample
+clip; wall-clock to 100 epochs.  The north-star target is < 10 s wall-clock
+for the pachelbel->organ run (100 epochs x <=100 L-BFGS iterations) on one
+v5e chip; the reference executes the same budget through SciPy with ~100
+host<->device round trips per epoch.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline = (north-star 10 s) / (our wall-clock), i.e. >1 beats the
+target. Extra keys document the sub-benchmarks.
+
+Run as: python bench.py  [--epochs N] [--precision float32|bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synth_audio(seconds: float, sr: int = 16000, kind: str = "content"):
+    """Deterministic synthetic audio standing in for pachelbel/organ clips."""
+    t = np.arange(int(seconds * sr)) / sr
+    if kind == "content":
+        # melodic arpeggio with vibrato — pachelbel stand-in
+        f = 220.0 * 2 ** (np.floor(t * 4) % 8 / 4.0)
+        x = 0.4 * np.sin(2 * np.pi * f * t) + 0.2 * np.sin(2 * np.pi * 2 * f * t)
+    else:
+        # rich harmonic drone — organ stand-in
+        x = sum(
+            0.25 / (k + 1) * np.sin(2 * np.pi * 110 * (k + 1) * t + 0.1 * k)
+            for k in range(8)
+        )
+    return x.astype(np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--maxiter", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=16384)
+    parser.add_argument("--precision", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--stack", type=int, default=0)
+    parser.add_argument("--warmup", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+
+    # Persistent compilation cache: the fused 100-epoch program takes ~1 min
+    # to compile cold; subsequent bench runs load it in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ast_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+
+    from audio_style_transfer_tpu.models import WaveNetAEConfig, init_params
+    from audio_style_transfer_tpu.transfer import StyleTransfer, TransferSpec
+
+    device = jax.devices()[0]
+
+    params = init_params(jax.random.PRNGKey(0), WaveNetAEConfig())
+    spec = TransferSpec(
+        stack=args.stack,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        maxiter=args.maxiter,
+        lambd=100.0,
+        gamma=0.0,
+        early_stop_evals=0,  # run the full budget: benchmark fixed work
+        compute_dtype=args.precision,
+        write_artifacts=False,
+    )
+    engine = StyleTransfer(spec, params)
+
+    content = synth_audio(2.0, kind="content")
+    style = synth_audio(2.0, kind="style")
+
+    phi_c = engine.get_embeds(content[: args.batch_size])
+    phi_t = engine.get_style_phi(style)
+    phi_s = engine.get_style_phi(content)
+    phi = engine.get_embeds(content[: args.batch_size], is_content=False)
+    from audio_style_transfer_tpu.transfer.grams import l2_normalize
+
+    phi = np.asarray(l2_normalize(jnp.asarray(phi + phi_t - phi_s), axes=(1, 2)))
+
+    # Warmup: compile the exact measured program (epochs is a static arg of
+    # the fused epoch loop, so warming up with a different count would leave
+    # compilation inside the timed region).
+    if args.warmup:
+        engine.optimize(phi_c, phi, epochs=args.epochs)
+
+    t0 = time.time()
+    result = engine.optimize(phi_c, phi, epochs=args.epochs)
+    wallclock = time.time() - t0
+
+    total_iters = int(np.sum(result["evals"]))  # L-BFGS function evaluations
+    iters_per_sec = total_iters / wallclock
+    north_star_seconds = 10.0
+
+    out = {
+        "metric": "style-transfer iters/sec on 16384-sample clip",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/sec",
+        "vs_baseline": round(north_star_seconds / wallclock, 3),
+        "wallclock_to_100_epochs_s": round(wallclock, 3),
+        "epochs_done": int(result["epochs_done"]),
+        "total_lbfgs_evals": total_iters,
+        "final_loss": float(result["metrics"][-1, 0]),
+        "precision": args.precision,
+        "device": str(device),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_style_transfer_tpu.models import WaveNetAEConfig
+from audio_style_transfer_tpu.parallel import make_mesh
+from audio_style_transfer_tpu.train import TrainConfig, Trainer, learning_rate
+
+TINY = WaveNetAEConfig(
+    num_layers=2,
+    num_stages=2,
+    width=8,
+    skip_width=8,
+    ae_num_layers=2,
+    ae_num_stages=2,
+    ae_width=8,
+    ae_hop_length=64,
+    ae_bottleneck_width=4,
+)
+
+
+def test_learning_rate_schedule():
+    # reference model.py:13-21
+    assert float(learning_rate(jnp.int32(0))) == pytest.approx(2e-4)
+    assert float(learning_rate(jnp.int32(89999))) == pytest.approx(2e-4)
+    assert float(learning_rate(jnp.int32(90000))) == pytest.approx(4e-4 / 3)
+    assert float(learning_rate(jnp.int32(125000))) == pytest.approx(6e-5)
+    assert float(learning_rate(jnp.int32(10**6))) == pytest.approx(2e-6)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    mesh = make_mesh(4)
+    cfg = TrainConfig(total_batch_size=8, sample_length=256, save_every_steps=0)
+    return Trainer(cfg, TINY, mesh)
+
+
+def test_train_step_runs_and_learns(trainer):
+    state = trainer.init_state()
+    rng = np.random.RandomState(0)
+    wav = rng.uniform(-0.5, 0.5, (8, 256)).astype(np.float32)
+    losses = []
+    for _ in range(5):
+        state, loss = trainer.step(state, wav)
+        losses.append(float(loss))
+    assert int(state["step"]) == 5
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # memorizing one batch must reduce loss
+
+
+def test_dp_matches_single_device():
+    """Gradient all-reduce over 4 devices == single-device full batch."""
+    rng = np.random.RandomState(1)
+    wav = rng.uniform(-0.5, 0.5, (8, 256)).astype(np.float32)
+    cfg = TrainConfig(save_every_steps=0)
+
+    t4 = Trainer(cfg, TINY, make_mesh(4), rng=jax.random.PRNGKey(7))
+    t1 = Trainer(cfg, TINY, make_mesh(1), rng=jax.random.PRNGKey(7))
+
+    s4, loss4 = t4.step(t4.init_state(), wav)
+    s1, loss1 = t1.step(t1.init_state(), wav)
+
+    assert float(loss4) == pytest.approx(float(loss1), rel=1e-4)
+    w4 = np.asarray(s4["params"]["ae_startconv"]["w"])
+    w1 = np.asarray(s1["params"]["ae_startconv"]["w"])
+    np.testing.assert_allclose(w4, w1, rtol=1e-4, atol=1e-6)
+
+
+def test_ema_tracks_params(trainer):
+    state = trainer.init_state()
+    wav = np.random.RandomState(2).uniform(-0.5, 0.5, (8, 256)).astype(np.float32)
+    state, _ = trainer.step(state, wav)
+    # after 1 step decay = min(0.9999, 1/10ish) -> ema close to new params
+    p = np.asarray(state["params"]["ae_startconv"]["w"])
+    e = np.asarray(state["ema"]["ae_startconv"]["w"])
+    assert not np.allclose(p, e)  # not identical
+    assert np.max(np.abs(p - e)) < 1e-2  # but tracking
+
+
+def test_checkpoint_save_restore(tmp_path):
+    cfg = TrainConfig(logdir=str(tmp_path), save_every_steps=0)
+    tr = Trainer(cfg, TINY, make_mesh(2))
+    state = tr.init_state()
+    wav = np.random.RandomState(3).uniform(-0.5, 0.5, (4, 256)).astype(np.float32)
+    state, _ = tr.step(state, wav)
+    tr.save(state)
+    restored = tr.restore()
+    assert int(restored["step"]) == 1
+    np.testing.assert_allclose(
+        np.asarray(state["params"]["ae_startconv"]["w"]),
+        np.asarray(restored["params"]["ae_startconv"]["w"]),
+        rtol=1e-6,
+    )
