@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from audio_style_transfer_tpu.analysis.nmf import nmf, nmf_transform, transform
+from audio_style_transfer_tpu.analysis.ot import (
+    build_moving_cost_matrix,
+    compute_permutation,
+    ot_admm,
+    projection_column_sum_in_range,
+    projection_sum_equal,
+    transform_palette,
+)
+
+
+def test_cost_matrix_matches_direct():
+    rng = np.random.RandomState(0)
+    p1, p2 = rng.rand(5, 16), rng.rand(7, 16)
+    got = np.asarray(build_moving_cost_matrix(p1, p2))
+    ref = np.sqrt(((p1[:, None] - p2[None]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_projection_sum_equal():
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    y = np.asarray(projection_sum_equal(x, 1.0))
+    assert abs(y.sum() - 1.0) < 1e-5
+    # preserves shape differences up to a constant
+    np.testing.assert_allclose(y - y[0, 0], x - x[0, 0], rtol=1e-5)
+
+
+def test_projection_column_sum_in_range():
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.array([[2.0, 2.0], [-3.0, 1.0], [0.1, 0.1]]))
+    lo = jnp.zeros(3)
+    hi = jnp.full(3, 1.0)
+    y = np.asarray(projection_column_sum_in_range(x, lo, hi))
+    sums = y.sum(1)
+    assert np.all(sums >= -1e-5) and np.all(sums <= 1.0 + 1e-5)
+    # the in-range row is untouched
+    np.testing.assert_allclose(y[2], np.asarray(x[2]), rtol=1e-6)
+
+
+def test_ot_plan_is_valid_transport():
+    rng = np.random.RandomState(1)
+    w1 = rng.rand(5, 32).astype(np.float32)
+    w2 = rng.rand(8, 32).astype(np.float32)
+    plan = np.asarray(ot_admm(w1, w2))
+    assert plan.shape == (5, 8)
+    assert plan.min() >= -1e-6
+    assert abs(plan.sum() - 1.0) < 1e-2
+    # row sums within [0, 1/5], col sums within [0, 1/8]
+    assert np.all(plan.sum(1) <= 1 / 5 + 1e-3)
+    assert np.all(plan.sum(0) <= 1 / 8 + 1e-3)
+
+
+def test_ot_identity_palettes_prefer_diagonal():
+    # transporting a palette to itself: mass should concentrate near the
+    # diagonal (cost 0 there)
+    rng = np.random.RandomState(2)
+    w = rng.rand(6, 16).astype(np.float32) * 10
+    plan = np.asarray(ot_admm(w, w))
+    diag_mass = np.trace(plan)
+    off_mass = plan.sum() - diag_mass
+    assert diag_mass > off_mass
+
+
+def test_compute_permutation_shape_and_finite():
+    rng = np.random.RandomState(3)
+    w1 = rng.rand(5, 128).astype(np.float32)
+    w2 = rng.rand(10, 128).astype(np.float32)
+    w = compute_permutation(w1, w2)
+    assert w.shape == (5, 128)
+    assert np.all(np.isfinite(w))
+
+
+def test_nmf_transform_reconstructs():
+    rng = np.random.RandomState(4)
+    h = np.abs(rng.rand(4, 20)).astype(np.float32)
+    w_true = np.abs(rng.rand(50, 4)).astype(np.float32)
+    x = w_true @ h
+    w = np.asarray(nmf_transform(x, h, max_iter=400))
+    rel = np.linalg.norm(x - w @ h) / np.linalg.norm(x)
+    assert rel < 0.02
+
+
+def test_nmf_transform_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn.decomposition")
+    from sklearn.decomposition import non_negative_factorization
+
+    rng = np.random.RandomState(5)
+    h = np.abs(rng.rand(3, 12)).astype(np.float64)
+    x = np.abs(rng.rand(30, 12)).astype(np.float64)
+    w_sk, _, _ = non_negative_factorization(
+        x, n_components=3, H=h, update_H=False, solver="mu", max_iter=400
+    )
+    w_us = np.asarray(nmf_transform(x, h, max_iter=400))
+    err_sk = np.linalg.norm(x - w_sk @ h)
+    err_us = np.linalg.norm(x - w_us @ h)
+    assert err_us <= err_sk * 1.05  # same quality of fit
+
+
+def test_full_nmf_factorizes():
+    # exactly low-rank non-negative data: NMF should fit it well
+    rng = np.random.RandomState(6)
+    x = (np.abs(rng.rand(40, 8)) @ np.abs(rng.rand(8, 16))).astype(np.float32)
+    w, h = nmf(x, n_components=8, max_iter=500)
+    rel = np.linalg.norm(x - np.asarray(w) @ np.asarray(h)) / np.linalg.norm(x)
+    assert rel < 0.05
+
+
+def test_transform_pipeline(tmp_path, capsys):
+    rng = np.random.RandomState(7)
+    ws = np.abs(rng.rand(4, 16)).astype(np.float32)
+    wt = np.abs(rng.rand(6, 16)).astype(np.float32)
+    enc = (np.abs(rng.rand(32, 4)) @ ws)[None, ...]
+    out = transform(enc, ws, wt, n_components=4)
+    assert out.shape == enc.shape
+    assert np.all(np.isfinite(out))
