@@ -37,20 +37,47 @@ AUDIO_LEN = 64000
 class NSynthDataset:
     """TFRecord-backed NSynth dataset."""
 
-    def __init__(self, tfrecord_path: str, is_training: bool = True, seed: int = 0):
+    def __init__(
+        self,
+        tfrecord_path: str,
+        is_training: bool = True,
+        seed: int = 0,
+        use_native: bool = True,
+        reader_threads: int = 4,
+    ):
         self.record_path = tfrecord_path
         self.is_training = is_training
         self.seed = seed
+        self.use_native = use_native
+        self.reader_threads = reader_threads
+
+    def _raw_records(self, repeat: bool) -> Iterator[bytes]:
+        if self.use_native:
+            try:
+                from audio_style_transfer_tpu.data.native import (
+                    NativeTFRecordReader,
+                    native_available,
+                )
+
+                if native_available():
+                    yield from NativeTFRecordReader(
+                        self.record_path,
+                        num_threads=self.reader_threads,
+                        repeat=repeat,
+                    )
+                    return
+            except Exception:  # fall through to the pure-Python reader
+                pass
+        while True:
+            yield from read_tfrecord(self.record_path)
+            if not repeat:
+                return
 
     def examples(self, repeat: bool | None = None) -> Iterator[dict]:
         """Yield parsed examples; repeats forever when training."""
         repeat = self.is_training if repeat is None else repeat
-        while True:
-            for raw in read_tfrecord(self.record_path):
-                ex = parse_example(raw)
-                yield ex
-            if not repeat:
-                return
+        for raw in self._raw_records(repeat):
+            yield parse_example(raw)
 
     def get_wavenet_batch(
         self,

@@ -93,6 +93,17 @@ class StyleTransfer:
             lambda params, xq: transfer_embeds(params, xq, self.cfg, self.loss_spec)
         )
         self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
+        # Batched variant (bench config 4: K clips vmapped on one chip,
+        # encoder weights shared): vmap over (x0, phi_c, phi_s).
+        self._epochs_batch_fn = jax.jit(
+            jax.vmap(
+                lambda params, x0, pc, ps, epochs: self._run_epochs(
+                    params, x0, pc, ps, epochs=epochs
+                ),
+                in_axes=(None, 0, 0, 0, None),
+            ),
+            static_argnums=(4,),
+        )
 
     # ------------------------------------------------------------------ #
     # Feature extraction (reference methods.py:86-111)
@@ -195,6 +206,36 @@ class StyleTransfer:
             "evals": np.asarray(evals[:ep_done]),
             "epochs_done": ep_done,
             "x": np.asarray(snapshots[max(ep_done - 1, 0)])[None, :],
+        }
+
+    def optimize_batch(self, phi_c, phi_s, epochs: int | None = None, x0=None):
+        """Transfer K clips at once with shared encoder weights.
+
+        Args: phi_c [K, T, C], phi_s [K, ...gram...], optional x0 [K, 1, T].
+        Each lane runs its own per-epoch L-BFGS; under vmap all lanes step
+        together until every lane's loop finishes (lanes that converge early
+        idle inside the masked while_loop).
+        """
+        spec = self.spec
+        epochs = epochs or spec.epochs
+        k = phi_c.shape[0]
+        if x0 is None:
+            x0 = jnp.full((k, 1, spec.batch_size), 1e-6, jnp.float32)
+        snapshots, metrics, evals, ep_done = self._epochs_batch_fn(
+            self.params, x0, jnp.asarray(phi_c), jnp.asarray(phi_s), epochs
+        )
+        ep_done = np.asarray(ep_done)
+        return {
+            "snapshots": np.asarray(snapshots),
+            "metrics": np.asarray(metrics),
+            "evals": np.asarray(evals),
+            "epochs_done": ep_done,
+            "x": np.stack(
+                [
+                    np.asarray(snapshots[i, max(int(e) - 1, 0)])
+                    for i, e in enumerate(ep_done)
+                ]
+            )[:, None, :],
         }
 
     # ------------------------------------------------------------------ #

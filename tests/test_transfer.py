@@ -184,3 +184,22 @@ def test_get_style_phi_chunking(transfer_setup):
     g1 = st.get_embeds(audio[:4096], is_content=False)
     g2 = st.get_embeds(audio[4096:8192], is_content=False)
     np.testing.assert_allclose(phi, (g1 + g2) / 2, rtol=1e-5, atol=1e-6)
+
+
+def test_optimize_batch(transfer_setup):
+    st, *_ = transfer_setup
+    rng = np.random.RandomState(3)
+    auds = rng.uniform(-0.5, 0.5, (3, 4096)).astype(np.float32)
+    phi_c = np.stack([st.get_embeds(a) for a in auds])
+    phi_s = np.stack([st.get_embeds(a, is_content=False) for a in auds[::-1]])
+    result = st.optimize_batch(phi_c, phi_s, epochs=2)
+    assert result["snapshots"].shape[0] == 3
+    assert result["x"].shape == (3, 1, 4096)
+    assert np.all(np.isfinite(result["x"]))
+    # batched lane 0 must agree with a single-clip run on the same inputs
+    single = st.optimize(phi_c[0], phi_s[0], epochs=2)
+    np.testing.assert_allclose(
+        result["metrics"][0, : single["epochs_done"], 0],
+        single["metrics"][:, 0],
+        rtol=2e-3,
+    )
