@@ -50,6 +50,10 @@ class WaveNetAEConfig:
     ae_bottleneck_width: int = 16
     quant_channels: int = 256
     compute_dtype: Any = jnp.float32
+    # Use the Pallas-fused residual-block kernel (ops/pallas_encoder.py) for
+    # the encoder trunk. Transfer-only: the fused VJP produces waveform
+    # gradients with frozen weights. Requires a TPU backend.
+    fused_encoder: bool = False
 
     def dilation(self, layer: int) -> int:
         """Decoder dilation pattern (reference model.py:149)."""
@@ -151,7 +155,26 @@ def encoder_trunk(
 
     enc = masked(_apply(params, "ae_startconv", x_scaled, causal=False, dtype=dtype))
     extracts = []
+    use_fused = cfg.fused_encoder and valid_mask is None and enc.shape[0] == 1
     for k in range(1, cfg.ae_num_layers + 1):
+        if use_fused:
+            from audio_style_transfer_tpu.ops.pallas_encoder import (
+                fused_encoder_block,
+            )
+
+            def cast(v):
+                return v.astype(dtype) if v.dtype != dtype else v
+
+            enc = fused_encoder_block(
+                enc[0],
+                cast(params[f"ae_dilatedconv_{k}"]["w"]),
+                cast(params[f"ae_dilatedconv_{k}"]["b"]),
+                cast(params[f"ae_res_{k}"]["w"]),
+                cast(params[f"ae_res_{k}"]["b"]),
+                cfg.ae_dilation(k - 1),
+            )[None]
+            extracts.append(enc)
+            continue
         d = jax.nn.relu(enc)
         d = _apply(
             params,
