@@ -160,6 +160,17 @@ def vis_mats(phis, phit, layer_ids, figdir=None, srcname=None, trgname=None):
     plt.close(fig)
 
 
+def show_inten(mats, ep, figdir):
+    """Per-channel gram-norm intensity plot (reference output-grams.py:69-77)."""
+    plt = _plt()
+    mats = np.asarray(mats)
+    a = np.array([np.linalg.norm(mats[i]) for i in range(mats.shape[0])])
+    plt.plot(a)
+    plt.savefig(os.path.join(figdir, f"int{ep}"), dpi=100)
+    plt.close()
+    return a
+
+
 def compare_2_matrix(ws, wt, figdir):
     """NMF palette comparison plots (reference utils.py:107-129)."""
     plt = _plt()

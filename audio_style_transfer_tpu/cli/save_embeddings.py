@@ -34,15 +34,17 @@ def build_parser():
 def latest_checkpoint(expdir: str) -> str:
     """Latest-checkpoint discovery (reference nsynth_save_embeddings.py:52-62):
     supports both TF1 ``checkpoint`` index files and our .npz caches."""
-    candidates = []
+    candidates = []  # (mtime source file, checkpoint path)
     for f in os.listdir(expdir):
         if f.endswith(".npz"):
-            candidates.append(os.path.join(expdir, f))
+            candidates.append((os.path.join(expdir, f), os.path.join(expdir, f)))
         elif f.endswith(".index"):
-            candidates.append(os.path.join(expdir, f[: -len(".index")]))
+            candidates.append(
+                (os.path.join(expdir, f), os.path.join(expdir, f[: -len(".index")]))
+            )
     if not candidates:
         raise FileNotFoundError(f"no checkpoints in {expdir}")
-    return max(candidates, key=os.path.getmtime)
+    return max(candidates, key=lambda c: os.path.getmtime(c[0]))[1]
 
 
 def main(argv=None):

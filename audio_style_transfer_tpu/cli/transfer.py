@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--precision", choices=["float32", "bfloat16"], default="float32",
         help="encoder compute dtype; bfloat16 hits MXU peak throughput",
     )
+    parser.add_argument("--fused", action="store_true",
+                        help="Pallas fused encoder blocks (TPU only)")
     parser.add_argument("--no_artifacts", action="store_true",
                         help="skip per-epoch wav/figure dumps")
     parser.add_argument("--random_init", action="store_true",
@@ -90,7 +92,7 @@ def get_dir(directory: str, args) -> str:
     kwargs = {
         k: v
         for k, v in vars(args).items()
-        if k not in ("precision", "no_artifacts", "random_init")
+        if k not in ("precision", "no_artifacts", "random_init", "fused")
     }
     return gt_s_path(crt_t_fol(directory), **kwargs)
 
@@ -131,6 +133,7 @@ def piece_work(args):
         lambd=args.lambd,
         gamma=args.gamma,
         compute_dtype=args.precision,
+        fused_encoder=args.fused,
         write_artifacts=not args.no_artifacts,
     )
     engine = StyleTransfer(spec, params)

@@ -157,7 +157,13 @@ def encoder_trunk(
     extracts = []
     use_fused = cfg.fused_encoder and valid_mask is None and enc.shape[0] == 1
     for k in range(1, cfg.ae_num_layers + 1):
-        if use_fused:
+        # Mosaic's sub-sublane rotate path only supports 32-bit data; keep
+        # the (3 of 30) small-dilation layers on the XLA composition in
+        # bf16 mode.
+        fused_ok = use_fused and (
+            cfg.ae_dilation(k - 1) % 8 == 0 or jnp.dtype(dtype) == jnp.float32
+        )
+        if fused_ok:
             from audio_style_transfer_tpu.ops.pallas_encoder import (
                 fused_encoder_block,
             )

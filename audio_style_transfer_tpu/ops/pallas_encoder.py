@@ -61,10 +61,14 @@ def _taps(r_ext, h: int, d: int, n: int):
         right = r_ext[h + d : h + d + n]
     else:
         # roll(+d) moves row j to j+d, so [h : h+n] reads rows [h-d, ...).
-        # (pltpu.roll requires non-negative shifts: -d == rows - d mod rows.)
+        # (pltpu.roll requires non-negative shifts: -d == rows - d mod rows.
+        # Mosaic's rotate only handles 32-bit data, so roll narrow dtypes
+        # through f32 — this costs a cast on 3 of 30 layers only.)
         rows = r_ext.shape[0]
-        left = pltpu.roll(r_ext, d, 0)[h : h + n]
-        right = pltpu.roll(r_ext, rows - d, 0)[h : h + n]
+        dtype = r_ext.dtype
+        r32 = r_ext if dtype == jnp.float32 else r_ext.astype(jnp.float32)
+        left = pltpu.roll(r32, d, 0)[h : h + n].astype(dtype)
+        right = pltpu.roll(r32, rows - d, 0)[h : h + n].astype(dtype)
     return left, center, right
 
 

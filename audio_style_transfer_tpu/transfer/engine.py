@@ -54,6 +54,7 @@ class TransferSpec:
     maxiter: int = 100
     early_stop_evals: int = 50  # epoch eval count below which the run stops
     compute_dtype: str = "float32"  # or "bfloat16" for MXU peak throughput
+    fused_encoder: bool = False  # Pallas fused residual blocks (TPU only)
     write_artifacts: bool = True
 
     @property
@@ -69,7 +70,9 @@ class StyleTransfer:
         self.spec = spec
         cfg = model_cfg or WaveNetAEConfig()
         self.cfg = dataclasses.replace(
-            cfg, compute_dtype=jnp.dtype(spec.compute_dtype)
+            cfg,
+            compute_dtype=jnp.dtype(spec.compute_dtype),
+            fused_encoder=spec.fused_encoder,
         )
         # Pre-cast weights to the compute dtype once; otherwise every L-BFGS
         # evaluation re-casts all 30 layers inside the hot while_loop.

@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--precision", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--stack", type=int, default=0)
+    parser.add_argument("--fused", action="store_true",
+                        help="Pallas fused encoder blocks (long first compile)")
     parser.add_argument("--warmup", type=int, default=1)
     args = parser.parse_args()
 
@@ -74,6 +76,7 @@ def main():
         gamma=0.0,
         early_stop_evals=0,  # run the full budget: benchmark fixed work
         compute_dtype=args.precision,
+        fused_encoder=args.fused,
         write_artifacts=False,
     )
     engine = StyleTransfer(spec, params)
@@ -113,6 +116,7 @@ def main():
         "total_lbfgs_evals": total_iters,
         "final_loss": float(result["metrics"][-1, 0]),
         "precision": args.precision,
+        "fused_encoder": args.fused,
         "device": str(device),
     }
     print(json.dumps(out))

@@ -1,0 +1,93 @@
+"""CLI smoke tests with the full model geometry on tiny workloads."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_style_transfer_tpu.utils import write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    sr = 16000
+    t = np.arange(int(sr * 1.6)) / sr
+    write_wav(str(d / "tone.wav"), 0.5 * np.sin(2 * np.pi * 220 * t), sr)
+    write_wav(str(d / "square.wav"),
+              0.4 * np.sign(np.sin(2 * np.pi * 330 * t)), sr)
+    return d
+
+
+def test_transfer_cli_parser_defaults():
+    from audio_style_transfer_tpu.cli.transfer import build_parser
+
+    args = build_parser().parse_args(["pachelbel", "organ"])
+    # reference methods.py:244-269 defaults
+    assert args.epochs == 100
+    assert args.batch_size == 16384
+    assert args.sr == 16000
+    assert args.stack is None
+    assert args.cont_lyrs == [29]
+    assert args.lambd == 100.0
+    assert args.gamma == 0.0
+    assert args.channels == 128
+    assert args.start == 1.0
+    assert args.gatys is False
+    assert args.ckpt_path.endswith("model.ckpt-200000")
+
+
+def test_transfer_cli_end_to_end(wav_dir, tmp_path):
+    from audio_style_transfer_tpu.cli.transfer import main
+
+    main([
+        "tone", "square",
+        "--dir", str(wav_dir),
+        "--outdir", str(tmp_path / "out"),
+        "--logdir", str(tmp_path / "log"),
+        "--epochs", "1",
+        "--batch_size", "4096",
+        "--stack", "0",
+        "--start", "0.3",
+        "--random_init",
+        "--no_artifacts",
+    ])
+
+
+def test_output_grams_cli(wav_dir, tmp_path):
+    from audio_style_transfer_tpu.cli.output_grams import main
+
+    main([
+        "tone",
+        "--srcdir", str(wav_dir),
+        "--figdir", str(tmp_path / "fig"),
+        "--stack", "0",
+        "--length", "4096",
+        "--random_init",
+    ])
+    # one gram grid per 4096-sample window
+    found = []
+    for root, _, files in os.walk(tmp_path / "fig"):
+        found += [f for f in files if f.startswith("gram-")]
+    assert found
+
+
+def test_save_embeddings_cli_latest_checkpoint(tmp_path):
+    from audio_style_transfer_tpu.cli.save_embeddings import latest_checkpoint
+
+    (tmp_path / "model.ckpt-100.npz").write_bytes(b"x")
+    (tmp_path / "model.ckpt-200.index").write_bytes(b"x")
+    os.utime(tmp_path / "model.ckpt-100.npz", (1, 1))
+    got = latest_checkpoint(str(tmp_path))
+    assert got.endswith("model.ckpt-200")
+
+
+def test_generate_cli_discovery(tmp_path):
+    from audio_style_transfer_tpu.cli.generate import discover_files
+
+    write_wav(str(tmp_path / "a.wav"), np.zeros(100, np.float32), 16000)
+    np.save(str(tmp_path / "b.npy"), np.zeros((2, 4)))
+    files, postfix = discover_files(str(tmp_path))
+    assert postfix == ".wav" and len(files) == 1
+    files, postfix = discover_files(str(tmp_path), npy_only=True)
+    assert postfix == ".npy" and len(files) == 1
