@@ -50,6 +50,18 @@ def _halo(d: int) -> int:
     return -(-d // _ALIGN) * _ALIGN  # round up to sublane multiple
 
 
+def _relu(v):
+    """ReLU that avoids bf16 vector compares (unsupported by Mosaic)."""
+    if v.dtype == jnp.float32:
+        return jnp.maximum(v, 0.0)
+    return jnp.where(v.astype(jnp.float32) > 0.0, v, jnp.zeros_like(v))
+
+
+def _pos_mask(v):
+    """(v > 0) computed in f32 for narrow dtypes."""
+    return v.astype(jnp.float32) > 0.0
+
+
 def _taps(r_ext, h: int, d: int, n: int):
     """(x[t-d], x[t], x[t+d]) rows for n center rows; slices 8-aligned.
 
@@ -87,13 +99,13 @@ def _fwd_kernel(d: int, h: int, tile: int, x_pad_ref, x_ref, w0_ref, w1_ref,
     dma.start()
     dma.wait()
 
-    r = jnp.maximum(scratch[:], 0.0)
+    r = _relu(scratch[:])
     left, center, right = _taps(r, h, d, tile)
     y = jnp.dot(left, w0_ref[:], preferred_element_type=jnp.float32)
     y += jnp.dot(center, w1_ref[:], preferred_element_type=jnp.float32)
     y += jnp.dot(right, w2_ref[:], preferred_element_type=jnp.float32)
-    y = (y + b1_ref[:]).astype(x_ref.dtype)
-    v = jnp.maximum(y, 0.0)
+    y = y + b1_ref[:]          # f32 accumulator
+    v = jnp.maximum(y, 0.0).astype(x_ref.dtype)
     z = jnp.dot(v, wr_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     out_ref[:] = x_ref[:] + z.astype(x_ref.dtype)
 
@@ -152,7 +164,7 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
     dma_x.wait()
     dma_g.wait()
 
-    r = jnp.maximum(x_scratch[:], 0.0)  # [tile + 4h, C]
+    r = _relu(x_scratch[:])  # [tile + 4h, C]
     # recompute y on the extended window [i*tile - h, i*tile + tile + h):
     # r covers an h-halo around that window.
     left, center, right = _taps(r, h, d, ext)
@@ -163,7 +175,7 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
 
     g_ext = g_scratch[:]  # zeros outside the sequence -> dy zero there
     dv = jnp.dot(g_ext, wr_ref[:].T, preferred_element_type=jnp.float32)
-    dy = jnp.where(y > 0.0, dv, 0.0).astype(x_ref.dtype)  # [ext, C]
+    dy = jnp.where(y > 0.0, dv, 0.0).astype(x_ref.dtype)  # [ext, C] (y is f32)
 
     # The k-th tap reads x[t + o_k] (o in {-d, 0, +d}), so its contribution
     # to dx[t] comes from dy at t - o_k.
@@ -173,7 +185,9 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
     dr += jnp.dot(dy_left, w2_ref[:].T, preferred_element_type=jnp.float32)
 
     x_center = x_scratch[2 * h : tile + 2 * h]
-    dx = g_ref[:] + jnp.where(x_center > 0.0, dr.astype(x_ref.dtype), 0.0)
+    dx = g_ref[:] + jnp.where(
+        _pos_mask(x_center), dr.astype(x_ref.dtype), jnp.zeros((), x_ref.dtype)
+    )
     out_ref[:] = dx
 
 
