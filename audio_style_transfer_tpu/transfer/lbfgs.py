@@ -34,7 +34,13 @@ class LBFGSOptions:
     gtol: float = 1e-05
     maxls: int = 20
     c1: float = 1e-4
-    c2: float = 0.9
+    # SciPy's dcsrch runs with gtol=0.9 but its step-selection heuristics pick
+    # near-optimal steps anyway; our plainer zoom line search needs a tighter
+    # curvature constant to match SciPy's convergence rate. Empirically
+    # c2=0.5 reproduces SciPy L-BFGS-B iteration counts and final losses on
+    # the transfer objective (see tests/test_lbfgs_scipy_parity.py), where
+    # c2=0.9 stalls on the style-gram plateau.
+    c2: float = 0.5
 
 
 class LBFGSResult(NamedTuple):
