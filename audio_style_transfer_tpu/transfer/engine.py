@@ -69,6 +69,11 @@ class StyleTransfer:
     def __init__(self, spec: TransferSpec, params, model_cfg: WaveNetAEConfig | None = None):
         self.spec = spec
         cfg = model_cfg or WaveNetAEConfig()
+        if spec.batch_size % 4096:
+            # reference constraint (methods.py:250: "must be divided by 4096")
+            raise ValueError(
+                f"batch_size must be a multiple of 4096, got {spec.batch_size}"
+            )
         self.cfg = dataclasses.replace(
             cfg,
             compute_dtype=jnp.dtype(spec.compute_dtype),
