@@ -159,21 +159,46 @@ class Trainer:
         num_steps: int | None = None,
         log=print,
     ) -> TrainState:
+        """Training loop with periodic checkpoints and preemption safety.
+
+        The reference relied on slim's supervisor for restart-resume
+        (SURVEY.md §5: "no preemption handling"); here a SIGTERM/SIGINT
+        mid-run triggers a final checkpoint before exiting the loop, so a
+        preempted TPU job resumes from its last step, not its last
+        periodic save.
+        """
+        import signal
+
         cfg = self.cfg
         num_steps = num_steps or cfg.num_iters
         t0 = time.time()
-        for i, batch in enumerate(batches):
-            if i >= num_steps:
-                break
-            state, loss = self.step(state, batch["wav"])
-            step = int(state["step"])
-            if step % cfg.log_every_steps == 0:
-                log(
-                    f"step {step} loss {float(loss):.4f} "
-                    f"({step / (time.time() - t0):.2f} steps/s)"
-                )
-            if cfg.save_every_steps and step % cfg.save_every_steps == 0:
-                self.save(state)
+        interrupted = {"flag": False}
+
+        def _handler(signum, frame):
+            interrupted["flag"] = True
+
+        prev_term = signal.signal(signal.SIGTERM, _handler)
+        prev_int = signal.signal(signal.SIGINT, _handler)
+        try:
+            for i, batch in enumerate(batches):
+                if i >= num_steps:
+                    break
+                state, loss = self.step(state, batch["wav"])
+                step = int(state["step"])
+                if step % cfg.log_every_steps == 0:
+                    log(
+                        f"step {step} loss {float(loss):.4f} "
+                        f"({step / (time.time() - t0):.2f} steps/s)"
+                    )
+                if cfg.save_every_steps and step % cfg.save_every_steps == 0:
+                    self.save(state)
+                if interrupted["flag"]:
+                    log(f"preemption signal at step {step}: checkpointing")
+                    self.save(state)
+                    break
+        finally:
+            signal.signal(signal.SIGTERM, prev_term)
+            signal.signal(signal.SIGINT, prev_int)
         return state
 
     # ------------------------------------------------------------------ #

@@ -102,10 +102,18 @@ class StyleTransfer:
         )
         self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
         # Batched variant (bench config 4: K clips vmapped on one chip,
-        # encoder weights shared): vmap over (x0, phi_c, phi_s).
+        # encoder weights shared): vmap over (x0, phi_c, phi_s). Pallas
+        # kernels don't support vmap's batched ANY-space blocks, so the
+        # batched path always runs the XLA conv composition — with K clips
+        # in flight the MXU is saturated without the fused kernel anyway.
+        batch_self = self
+        if spec.fused_encoder:
+            batch_self = StyleTransfer(
+                dataclasses.replace(spec, fused_encoder=False), params, model_cfg
+            )
         self._epochs_batch_fn = jax.jit(
             jax.vmap(
-                lambda params, x0, pc, ps, epochs: self._run_epochs(
+                lambda params, x0, pc, ps, epochs: batch_self._run_epochs(
                     params, x0, pc, ps, epochs=epochs
                 ),
                 in_axes=(None, 0, 0, 0, None),

@@ -47,8 +47,11 @@ def main():
     parser.add_argument("--precision", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--stack", type=int, default=0)
-    parser.add_argument("--fused", action="store_true",
-                        help="Pallas fused encoder blocks (long first compile)")
+    parser.add_argument("--fused", dest="fused", action="store_true", default=True,
+                        help="Pallas fused encoder blocks (default on)")
+    parser.add_argument("--no_fused", dest="fused", action="store_false")
+    parser.add_argument("--suite", action="store_true",
+                        help="also run gatys / full-stack / batched configs")
     parser.add_argument("--warmup", type=int, default=1)
     args = parser.parse_args()
 
@@ -79,7 +82,12 @@ def main():
         fused_encoder=args.fused,
         write_artifacts=False,
     )
-    engine = StyleTransfer(spec, params)
+    import dataclasses as _dc
+
+    try:
+        engine = StyleTransfer(spec, params)
+    except Exception:
+        engine = StyleTransfer(_dc.replace(spec, fused_encoder=False), params)
 
     content = synth_audio(2.0, kind="content")
     style = synth_audio(2.0, kind="style")
@@ -94,9 +102,15 @@ def main():
 
     # Warmup: compile the exact measured program (epochs is a static arg of
     # the fused epoch loop, so warming up with a different count would leave
-    # compilation inside the timed region).
+    # compilation inside the timed region). If the Pallas path fails to
+    # compile in this environment, fall back to the XLA composition.
     if args.warmup:
-        engine.optimize(phi_c, phi, epochs=args.epochs)
+        try:
+            engine.optimize(phi_c, phi, epochs=args.epochs)
+        except Exception:
+            spec = _dc.replace(spec, fused_encoder=False)
+            engine = StyleTransfer(spec, params)
+            engine.optimize(phi_c, phi, epochs=args.epochs)
 
     t0 = time.time()
     result = engine.optimize(phi_c, phi, epochs=args.epochs)
@@ -116,10 +130,71 @@ def main():
         "total_lbfgs_evals": total_iters,
         "final_loss": float(result["metrics"][-1, 0]),
         "precision": args.precision,
-        "fused_encoder": args.fused,
+        "fused_encoder": spec.fused_encoder,
         "device": str(device),
     }
+
+    if args.suite:
+        out["suite"] = run_suite(params, args, content, style)
+
     print(json.dumps(out))
+
+
+def run_suite(params, args, content, style):
+    """Secondary BASELINE.json configs: gatys mode, full-stack deep content,
+    batched 8-clip transfer. Each entry reports wall-clock after warmup."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from audio_style_transfer_tpu.transfer import StyleTransfer, TransferSpec
+    from audio_style_transfer_tpu.transfer.grams import l2_normalize
+
+    results = {}
+
+    def timed(engine, phi_c, phi, epochs, batched=False):
+        fn = engine.optimize_batch if batched else engine.optimize
+        fn(phi_c, phi, epochs=epochs)  # warmup/compile
+        t0 = time.time()
+        r = fn(phi_c, phi, epochs=epochs)
+        dt = time.time() - t0
+        evals = int(np.sum(r["evals"]))
+        return {"wallclock_s": round(dt, 3), "evals": evals,
+                "iters_per_sec": round(evals / dt, 2)}
+
+    base = dict(
+        batch_size=args.batch_size, epochs=args.epochs, maxiter=args.maxiter,
+        early_stop_evals=0, compute_dtype=args.precision,
+        fused_encoder=args.fused, write_artifacts=False,
+    )
+
+    def targets(engine, gatys=False):
+        phi_c = engine.get_embeds(content[: args.batch_size])
+        phi_t = engine.get_style_phi(style)
+        phi_s = engine.get_style_phi(content)
+        phi = engine.get_embeds(content[: args.batch_size], is_content=False)
+        phi = np.asarray(l2_normalize(jnp.asarray(phi + phi_t - phi_s), axes=(1, 2)))
+        return phi_c, phi
+
+    # config 2: Gatys mode
+    eng = StyleTransfer(TransferSpec(stack=0, gatys=True, **base), params)
+    results["gatys"] = timed(eng, *targets(eng), epochs=args.epochs)
+
+    # config 3: full stack + deep content layer (--cont_lyrs 25)
+    eng = StyleTransfer(
+        TransferSpec(stack=None, cont_lyr_ids=(25,), **base), params
+    )
+    results["full_stack_cont25"] = timed(eng, *targets(eng), epochs=args.epochs)
+
+    # config 4: 8 clips vmapped on one chip
+    eng = StyleTransfer(TransferSpec(stack=0, **base), params)
+    pc, ph = targets(eng)
+    phi_c8 = np.stack([pc] * 8)
+    phi8 = np.stack([ph] * 8)
+    r = timed(eng, phi_c8, phi8, epochs=min(args.epochs, 20), batched=True)
+    r["clips"] = 8
+    results["batched_8clips_20ep"] = r
+    return results
 
 
 if __name__ == "__main__":

@@ -92,3 +92,27 @@ def test_checkpoint_save_restore(tmp_path):
         np.asarray(restored["params"]["ae_startconv"]["w"]),
         rtol=1e-6,
     )
+
+
+def test_fit_checkpoints_on_preemption_signal(tmp_path):
+    import os
+    import signal
+
+    cfg = TrainConfig(logdir=str(tmp_path), save_every_steps=0, log_every_steps=1)
+    tr = Trainer(cfg, TINY, make_mesh(2))
+    state = tr.init_state()
+    rng = np.random.RandomState(4)
+
+    def batches():
+        sent = {"n": 0}
+        while True:
+            sent["n"] += 1
+            if sent["n"] == 2:
+                os.kill(os.getpid(), signal.SIGTERM)  # simulate preemption
+            yield {"wav": rng.uniform(-0.5, 0.5, (4, 256)).astype(np.float32)}
+
+    state = tr.fit(state, batches(), num_steps=100, log=lambda *a: None)
+    # loop stopped early and checkpointed
+    assert int(state["step"]) < 100
+    restored = tr.restore()
+    assert int(restored["step"]) == int(state["step"])
