@@ -28,16 +28,18 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _tf_checkpoint_reader(checkpoint_path: str):
+    """Bundle reader: our pure-Python implementation, TF as fallback.
+
+    Both expose get_variable_to_shape_map() / get_tensor(name).
+    """
     try:
+        from audio_style_transfer_tpu.ckpt.bundle_reader import BundleReader
+
+        return BundleReader(checkpoint_path)
+    except Exception:
         from tensorflow.python.training import py_checkpoint_reader
 
         return py_checkpoint_reader.NewCheckpointReader(checkpoint_path)
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "Converting a TF1 checkpoint requires TensorFlow's checkpoint "
-            "reader. Convert once with TF installed and ship the .npz "
-            "(save_params) instead."
-        ) from e
 
 
 def convert_tf1_checkpoint(checkpoint_path: str, strict: bool = True) -> "Params":

@@ -79,3 +79,23 @@ def test_convert_missing_layer_raises(tmp_path):
             saver.save(sess, path, write_meta_graph=False)
     with pytest.raises(KeyError):
         convert_tf1_checkpoint(path)
+
+
+def test_pure_python_bundle_reader_matches_tf(tf1_checkpoint):
+    """Our TF-free bundle reader must read the real TF-written checkpoint."""
+    from audio_style_transfer_tpu.ckpt.bundle_reader import BundleReader
+
+    path, values = tf1_checkpoint
+    reader = BundleReader(path)
+    shapes = reader.get_variable_to_shape_map()
+    # every saved variable is visible with the right shape and bytes
+    for key, val in values.items():
+        assert tuple(shapes[key]) == val.shape, key
+        np.testing.assert_array_equal(reader.get_tensor(key), val)
+
+
+def test_bundle_reader_missing_file(tmp_path):
+    from audio_style_transfer_tpu.ckpt.bundle_reader import BundleReader
+
+    with pytest.raises(FileNotFoundError):
+        BundleReader(str(tmp_path / "nope.ckpt"))
