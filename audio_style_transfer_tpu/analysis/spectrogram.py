@@ -11,8 +11,6 @@ device-side STFT lives in signal/stft.py.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 

@@ -17,7 +17,6 @@ same framing lives in csrc/ for production input pipelines.
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Iterator
 

@@ -23,7 +23,6 @@ trips, fused sampling, state updates in registers/VMEM.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,13 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from audio_style_transfer_tpu.models.wavenet_ae import (

@@ -23,12 +23,11 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from audio_style_transfer_tpu.signal.mu_law import inv_mu_law_numpy
-from audio_style_transfer_tpu.transfer.engine import StyleTransfer, TransferSpec
+from audio_style_transfer_tpu.transfer.engine import StyleTransfer
 from audio_style_transfer_tpu.transfer.grams import l2_normalize
 
 

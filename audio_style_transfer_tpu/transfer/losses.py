@@ -16,8 +16,6 @@ the encoder-only graph is the honest equivalent of the hot path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax.numpy as jnp
 
 from audio_style_transfer_tpu.models.wavenet_ae import (
