@@ -67,8 +67,6 @@ def main(argv=None):
             )
             metrics.log(step, loss=float(loss))
         if args.save_every and step % args.save_every == 0:
-            np.save(os.path.join(args.logdir, f"baseline-{step}.npy"),
-                    np.asarray([0]))  # placeholder marker
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()

@@ -68,3 +68,12 @@ def test_timestretch():
     assert out[0, 0, 0] == 0.0
     assert out[0, -1, 0] == 7.0
     assert np.all(np.diff(out[0, :, 0]) >= 0)
+
+
+def test_make_hybrid_mesh_single_slice():
+    from audio_style_transfer_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh()
+    assert mesh.axis_names == ("slice", "data")
+    assert mesh.devices.shape[0] == 1  # one slice in this environment
+    assert mesh.devices.size == 8
