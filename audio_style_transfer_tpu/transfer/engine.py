@@ -222,21 +222,38 @@ class StyleTransfer:
             "x": np.asarray(snapshots[max(ep_done - 1, 0)])[None, :],
         }
 
-    def optimize_batch(self, phi_c, phi_s, epochs: int | None = None, x0=None):
+    def optimize_batch(
+        self, phi_c, phi_s, epochs: int | None = None, x0=None, mesh=None
+    ):
         """Transfer K clips at once with shared encoder weights.
 
         Args: phi_c [K, T, C], phi_s [K, ...gram...], optional x0 [K, 1, T].
         Each lane runs its own per-epoch L-BFGS; under vmap all lanes step
         together until every lane's loop finishes (lanes that converge early
         idle inside the masked while_loop).
+
+        With ``mesh`` (1-D), the clip axis is sharded over the mesh's devices
+        and XLA partitions the vmapped program — this is the scale-out path
+        for long-form audio on a slice (weights replicated, K/n clips per
+        chip, zero cross-device communication in the hot loop).
         """
         spec = self.spec
         epochs = epochs or spec.epochs
         k = phi_c.shape[0]
         if x0 is None:
             x0 = jnp.full((k, 1, spec.batch_size), 1e-6, jnp.float32)
+        phi_c, phi_s = jnp.asarray(phi_c), jnp.asarray(phi_s)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            assert k % mesh.devices.size == 0, (
+                f"{k} clips must divide the {mesh.devices.size}-device mesh"
+            )
+            shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+            x0, phi_c, phi_s = shard(x0), shard(phi_c), shard(phi_s)
         snapshots, metrics, evals, ep_done = self._epochs_batch_fn(
-            self.params, x0, jnp.asarray(phi_c), jnp.asarray(phi_s), epochs
+            self.params, x0, phi_c, phi_s, epochs
         )
         ep_done = np.asarray(ep_done)
         return {

@@ -51,6 +51,7 @@ def transfer_longform(
     max_style_examples: int = 5,
     ot_components: int | None = None,
     crossfade: int = 256,
+    mesh=None,
 ) -> LongformResult:
     """Chunked long-form transfer with the reference's gram-translation trick
     applied per window, optionally through the NMF+OT palette transform.
@@ -62,6 +63,8 @@ def transfer_longform(
         the style target through NMF + optimal transport before building the
         style grams (the reference's utils.transform pipeline).
       crossfade: samples of linear crossfade when stitching windows.
+      mesh: optional 1-D jax Mesh — windows shard across its devices
+        (the v5e-8 scale-out path; window count must divide device count).
     """
     spec = engine.spec
     window = spec.batch_size
@@ -86,7 +89,7 @@ def transfer_longform(
         phis.append(phi)
     phis = np.stack(phis)
 
-    result = engine.optimize_batch(phi_cs, phis, epochs=epochs)
+    result = engine.optimize_batch(phi_cs, phis, epochs=epochs, mesh=mesh)
 
     # Stitch windows with a short crossfade to hide seam discontinuities.
     outs = [inv_mu_law_numpy(result["x"][i, 0]) for i in range(k)]

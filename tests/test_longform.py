@@ -77,3 +77,21 @@ def test_transfer_longform_with_ot(engine, capsys):
     assert res.audio.shape == (4096 * 2,)
     assert np.all(np.isfinite(res.audio))
     assert "OT transform" in capsys.readouterr().out
+
+
+def test_transfer_longform_sharded_over_mesh(engine):
+    """Windows sharded across the 8-device CPU mesh must match unsharded."""
+    from audio_style_transfer_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(2)
+    content = rng.uniform(-0.5, 0.5, 4096 * 8).astype(np.float32)
+    style = rng.uniform(-0.5, 0.5, 4096 * 2).astype(np.float32)
+    mesh = make_mesh(8)
+    res_sharded = transfer_longform(
+        engine, content, style, epochs=1, crossfade=0, mesh=mesh
+    )
+    res_local = transfer_longform(engine, content, style, epochs=1, crossfade=0)
+    # partitioned execution reorders reductions; agreement is to f32 noise
+    np.testing.assert_allclose(
+        res_sharded.audio, res_local.audio, rtol=2e-4, atol=1e-4
+    )
