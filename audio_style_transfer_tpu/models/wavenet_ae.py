@@ -157,28 +157,33 @@ def encoder_trunk(
     extracts = []
     use_fused = cfg.fused_encoder and valid_mask is None and enc.shape[0] == 1
     for k in range(1, cfg.ae_num_layers + 1):
-        # Mosaic's sub-sublane rotate path only supports 32-bit data; keep
-        # the (3 of 30) small-dilation layers on the XLA composition in
-        # bf16 mode.
-        fused_ok = use_fused and (
-            cfg.ae_dilation(k - 1) % 8 == 0 or jnp.dtype(dtype) == jnp.float32
-        )
-        if fused_ok:
+        if use_fused:
             from audio_style_transfer_tpu.ops.pallas_encoder import (
                 fused_encoder_block,
             )
 
-            def cast(v):
-                return v.astype(dtype) if v.dtype != dtype else v
+            # Mosaic's rotate (used for sub-sublane tap shifts) is
+            # 32-bit-only, so the d<8 layers (3 of 30) run the kernel in
+            # f32 — still fused, just upcast around the call.
+            layer_dtype = (
+                jnp.float32
+                if cfg.ae_dilation(k - 1) % 8 and jnp.dtype(dtype) != jnp.float32
+                else dtype
+            )
+
+            def cast(v, to=None):
+                to = to or layer_dtype
+                return v.astype(to) if v.dtype != to else v
 
             enc = fused_encoder_block(
-                enc[0],
+                cast(enc[0]),
                 cast(params[f"ae_dilatedconv_{k}"]["w"]),
                 cast(params[f"ae_dilatedconv_{k}"]["b"]),
                 cast(params[f"ae_res_{k}"]["w"]),
                 cast(params[f"ae_res_{k}"]["b"]),
                 cfg.ae_dilation(k - 1),
             )[None]
+            enc = enc.astype(dtype) if enc.dtype != dtype else enc
             extracts.append(enc)
             continue
         d = jax.nn.relu(enc)

@@ -39,8 +39,16 @@ DEFAULT_TILE = 2048
 _ALIGN = 8
 
 
-def _pick_tile(t: int) -> int:
-    tile = min(t, DEFAULT_TILE)
+def _pick_tile(t: int, h: int = 0) -> int:
+    """Largest power-of-two tile dividing t that fits VMEM with halo h.
+
+    The backward kernel's scoped VMEM scales with (tile + 4h); tile 4096 at
+    h=512 overflows the 16 MB budget, while small-dilation layers (24 of 30)
+    comfortably fit a 4096 tile — fewer grid programs, less per-program
+    overhead.
+    """
+    budget = 4096 if h <= 128 else DEFAULT_TILE
+    tile = min(t, budget)
     while t % tile:
         tile //= 2
     return max(tile, _ALIGN)
@@ -112,8 +120,8 @@ def _fwd_kernel(d: int, h: int, tile: int, x_pad_ref, x_ref, w0_ref, w1_ref,
 
 def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
     t, c = x.shape
-    tile = _pick_tile(t)
     h = _halo(dilation)
+    tile = _pick_tile(t, h)
     x_pad = jnp.pad(x, ((h, h), (0, 0)))
 
     kernel = functools.partial(_fwd_kernel, dilation, h, tile)
@@ -193,8 +201,8 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
 
 def _bwd(x, g, w_dil, b_dil, w_res, dilation: int):
     t, c = x.shape
-    tile = _pick_tile(t)
     h = _halo(dilation)
+    tile = _pick_tile(t, h)
     x_pad2 = jnp.pad(x, ((2 * h, 2 * h), (0, 0)))
     g_pad = jnp.pad(g, ((h, h), (0, 0)))
 
