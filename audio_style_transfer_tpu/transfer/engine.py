@@ -326,10 +326,27 @@ class StyleTransfer:
         phi = np.asarray(l2_normalize(jnp.asarray(phi + phi_t - phi_s), axes=(1, 2)))
 
         result = self.optimize(phi_c, phi, epochs=epochs)
+        # Per-epoch log lines (the reference streamed these during the run,
+        # methods.py:151-155; the fused program reports them afterwards).
+        for ep in range(result["epochs_done"]):
+            loss_, cnt_, stl_, reg_ = result["metrics"][ep]
+            print(
+                f"Ep {ep + 1}/{epochs or spec.epochs} - evals "
+                f"{result['evals'][ep]} - loss {loss_:.4f} - content "
+                f"{cnt_:.4f} - style {stl_:.4f} - regularizer {reg_:.4f}"
+            )
         print(
             f"optimized {result['epochs_done']} epochs in {time.time() - t0:.2f}s; "
             f"final loss {result['metrics'][-1, 0]:.4f}"
         )
+        if spec.write_artifacts:
+            from audio_style_transfer_tpu.utils.profiling import MetricsLogger
+
+            with MetricsLogger(spec.logdir) as m:
+                for ep in range(result["epochs_done"]):
+                    loss_, cnt_, stl_, reg_ = result["metrics"][ep]
+                    m.log(ep, main_loss=loss_, content_loss=cnt_,
+                          style_loss=stl_, regularizer=reg_)
 
         if spec.write_artifacts:
             self._write_epoch_artifacts(result)
