@@ -209,10 +209,17 @@ def synthesize(
     cfg: WaveNetAEConfig | None = None,
     seed: int = 0,
     sr: int = 16000,
+    dtype=None,
 ) -> np.ndarray:
-    """Host wrapper mirroring reference fastgen.synthesize:160-212."""
+    """Host wrapper mirroring reference fastgen.synthesize:160-212.
+
+    ``dtype=jnp.bfloat16`` casts the decoder weights for ~2x faster
+    generation (logit precision drops accordingly; sampling stays f32).
+    """
     assert params is not None, "synthesize requires a params pytree"
     cfg = cfg or WaveNetAEConfig()
+    if dtype is not None:
+        params = jax.tree.map(lambda v: v.astype(dtype), params)
     fn = jax.jit(synthesize_jit, static_argnums=3)
     audio = np.asarray(fn(params, jnp.asarray(encodings), jax.random.PRNGKey(seed), cfg))
     if save_paths:
