@@ -77,3 +77,28 @@ def test_make_hybrid_mesh_single_slice():
     assert mesh.axis_names == ("slice", "data")
     assert mesh.devices.shape[0] == 1  # one slice in this environment
     assert mesh.devices.size == 8
+
+
+def test_specgram_summaries_writes_files(tmp_path):
+    import jax.numpy as jnp
+
+    from audio_style_transfer_tpu.analysis.summaries import specgram_summaries
+    from audio_style_transfer_tpu.models.baseline_ae import BaselineHParams
+    from audio_style_transfer_tpu.signal.specgram import specgram
+
+    hp = BaselineHParams(n_fft=64, hop_length=32, mag_only=True)
+    rng = np.random.RandomState(0)
+    specs = np.stack(
+        [
+            np.asarray(specgram(jnp.asarray(rng.randn(512).astype(np.float32)),
+                                n_fft=64, hop_length=32, mag_only=True))
+            for _ in range(4)
+        ]
+    )
+    specgram_summaries(specs, "recon", hp, str(tmp_path), rows=2, columns=2,
+                       phase=False, audio=True)
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("mag_recon") for f in files)
+    assert any(f.endswith(".wav") for f in files)
