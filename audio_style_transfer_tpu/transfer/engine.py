@@ -138,6 +138,12 @@ class StyleTransfer:
     ) -> np.ndarray:
         """Chunked style-gram average (reference methods.py:97-111)."""
         bs = self.spec.batch_size
+        if len(audio) < bs:
+            raise ValueError(
+                f"style/content audio has {len(audio)} samples but one "
+                f"window needs batch_size={bs}; provide a longer clip or "
+                f"a smaller --batch_size"
+            )
         n = min(len(audio), max_examples * bs) // bs
         n = max(n, 1)
         grams = [
@@ -299,6 +305,11 @@ class StyleTransfer:
         aud, _ = load_audio(cont_file, sr=spec.sr, audio_channel=audio_channel)
         st = int(start * spec.sr - late)
         st = max(st, 0)
+        if st + spec.batch_size > len(aud):
+            raise ValueError(
+                f"content window [{st}, {st + spec.batch_size}) exceeds the "
+                f"{len(aud)}-sample clip; lower --start or --batch_size"
+            )
         aud = aud[st : st + spec.batch_size]
 
         if spec.write_artifacts:

@@ -203,3 +203,13 @@ def test_optimize_batch(transfer_setup):
         single["metrics"][:, 0],
         rtol=2e-3,
     )
+
+
+def test_short_audio_clear_errors(transfer_setup):
+    st, cpath, spath, tmp_path = transfer_setup
+    short = np.zeros(1000, np.float32)
+    with pytest.raises(ValueError, match="batch_size"):
+        st.get_style_phi(short)
+    # content window falling off the end of the clip
+    with pytest.raises(ValueError, match="content window"):
+        st.run(cpath, cpath, spath, epochs=1, start=100.0)
