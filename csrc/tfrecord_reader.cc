@@ -68,6 +68,10 @@ class TFRecordReader {
         repeat_(repeat),
         next_file_(0) {
     if (num_threads < 1) num_threads = 1;
+    // Count workers as active BEFORE any thread starts: otherwise an early
+    // Next() can observe active_workers_ == 0 + empty queue and report EOF
+    // while the pool is still spinning up.
+    active_workers_ = num_threads;
     for (int i = 0; i < num_threads; ++i)
       workers_.emplace_back([this] { WorkerLoop(); });
   }
@@ -102,10 +106,6 @@ class TFRecordReader {
 
  private:
   void WorkerLoop() {
-    {
-      std::lock_guard<std::mutex> lock(mu_);
-      ++active_workers_;
-    }
     while (true) {
       std::string path;
       {
