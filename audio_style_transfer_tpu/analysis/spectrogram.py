@@ -29,28 +29,29 @@ def stft_np(sig: np.ndarray, frame_size: int, overlap_fac: float = 0.5) -> np.nd
 
 
 def logscale_spec(spec: np.ndarray, sr: int = 44100, factor: float = 20.0):
-    """Sum FFT bins into log-spaced bins (reference spectrogram.py:34-58)."""
+    """Sum FFT bins into log-spaced bins (reference spectrogram.py:34-58).
+
+    The bin edges are ``unique(round(linspace(0,1,F)^factor * (F-1)))`` and
+    each output bin sums the complex input bins in [edge_i, edge_{i+1})
+    (the last bin absorbs the remainder). Implemented with a single
+    ``add.reduceat`` over the edges instead of a per-bin loop; numerically
+    identical to the reference (verified to 1e-10 in tests/test_viz.py).
+    """
     timebins, freqbins = np.shape(spec)
 
-    scale = np.linspace(0, 1, freqbins) ** factor
-    scale *= (freqbins - 1) / max(scale)
-    scale = np.unique(np.round(scale))
+    edges = np.linspace(0, 1, freqbins) ** factor
+    edges *= (freqbins - 1) / max(edges)
+    edges = np.unique(np.round(edges)).astype(int)
 
-    newspec = np.complex128(np.zeros([timebins, len(scale)]))
-    for i in range(len(scale)):
-        if i == len(scale) - 1:
-            newspec[:, i] = np.sum(spec[:, int(scale[i]) :], axis=1)
-        else:
-            newspec[:, i] = np.sum(spec[:, int(scale[i]) : int(scale[i + 1])], axis=1)
+    newspec = np.add.reduceat(spec.astype(np.complex128), edges, axis=1)
 
+    # center frequency of each output bin = mean of its input bins' freqs
     allfreqs = np.abs(np.fft.fftfreq(freqbins * 2, 1.0 / sr)[: freqbins + 1])
-    freqs = []
-    for i in range(len(scale)):
-        if i == len(scale) - 1:
-            freqs += [np.mean(allfreqs[int(scale[i]) :])]
-        else:
-            freqs += [np.mean(allfreqs[int(scale[i]) : int(scale[i + 1])])]
-
+    bounds = np.append(edges, len(allfreqs))
+    freqs = [
+        float(np.mean(allfreqs[bounds[i] : bounds[i + 1]]))
+        for i in range(len(edges))
+    ]
     return newspec, freqs
 
 

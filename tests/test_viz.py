@@ -101,3 +101,32 @@ def test_gram_and_activation_figures(tmp_path):
 
     vis_mats(rng.rand(2, 8, 8), rng.rand(2, 8, 8), [0, 1], figdir=figdir)
     assert os.path.exists(os.path.join(figdir, "mats_plt.png"))
+
+
+def _ref_logscale(spec, sr=44100, factor=20.0):
+    """Independent loop-based model of reference spectrogram.py:34-58."""
+    timebins, freqbins = np.shape(spec)
+    scale = np.linspace(0, 1, freqbins) ** factor
+    scale *= (freqbins - 1) / max(scale)
+    scale = np.unique(np.round(scale))
+    newspec = np.complex128(np.zeros([timebins, len(scale)]))
+    for i in range(len(scale)):
+        lo = int(scale[i])
+        hi = int(scale[i + 1]) if i + 1 < len(scale) else None
+        newspec[:, i] = spec[:, lo:hi].sum(axis=1)
+    allfreqs = np.abs(np.fft.fftfreq(freqbins * 2, 1.0 / sr)[: freqbins + 1])
+    freqs = [
+        np.mean(allfreqs[int(scale[i]) : (int(scale[i + 1]) if i + 1 < len(scale) else None)])
+        for i in range(len(scale))
+    ]
+    return newspec, freqs
+
+
+def test_logscale_spec_bit_faithful():
+    rng = np.random.RandomState(7)
+    spec = rng.randn(20, 513) + 1j * rng.randn(20, 513)
+    for factor in [1.0, 20.0]:
+        ours, freqs = logscale_spec(spec, sr=16000, factor=factor)
+        ref, ref_freqs = _ref_logscale(spec, sr=16000, factor=factor)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+        np.testing.assert_allclose(freqs, ref_freqs, rtol=1e-12)
