@@ -244,27 +244,35 @@ def fused_encoder_block(x, w_dil, b_dil, w_res, b_res, dilation: int):
 
     Equivalent to (reference model.py:99-114):
         x + conv1x1(relu(dilated_conv3(relu(x), dilation)), w_res)
-    with non-causal SAME padding. Gradients flow to ``x`` only (frozen
-    encoder weights — the transfer workload).
+    with non-causal SAME padding.
+
+    Gradients: the waveform cotangent (dx) runs through the fused Pallas
+    backward kernel (the transfer hot path). Weight/bias cotangents are
+    computed by an XLA recompute of the block — when the weights are frozen
+    (transfer), those cotangents are unused and XLA dead-code-eliminates the
+    recompute, so the hot path pays nothing; when a training loss
+    differentiates through the fused path, the weight gradients are correct
+    instead of silently zero.
     """
     return _fwd(x, w_dil, b_dil, w_res, b_res, dilation)
 
 
 def _vjp_fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
     out = _fwd(x, w_dil, b_dil, w_res, b_res, dilation)
-    return out, (x, w_dil, b_dil, w_res)
+    return out, (x, w_dil, b_dil, w_res, b_res)
 
 
 def _vjp_bwd(dilation: int, res, g):
-    x, w_dil, b_dil, w_res = res
+    x, w_dil, b_dil, w_res, b_res = res
     dx = _bwd(x, g, w_dil, b_dil, w_res, dilation)
-    return (
-        dx,
-        jnp.zeros_like(w_dil),
-        jnp.zeros_like(b_dil),
-        jnp.zeros_like(w_res),
-        jnp.zeros(w_res.shape[-1], x.dtype),
+    # Weight-side VJP through the unfused XLA composition (recompute; pruned
+    # by DCE whenever the caller does not consume weight cotangents).
+    _, pull = jax.vjp(
+        lambda wd, bd, wr, br: reference_encoder_block(x, wd, bd, wr, br, dilation),
+        w_dil, b_dil, w_res, b_res,
     )
+    dw_dil, db_dil, dw_res, db_res = pull(g)
+    return dx, dw_dil, db_dil, dw_res, db_res
 
 
 fused_encoder_block.defvjp(_vjp_fwd, _vjp_bwd)

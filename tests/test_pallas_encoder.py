@@ -93,3 +93,23 @@ def test_gradient_edge_tiles():
         np.asarray(jax.grad(loss_ref)(x)),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_weight_gradients_match_reference():
+    """A train-style grad wrt the WEIGHTS through the fused path must equal
+    the XLA composition's (previously silently zero — VJP now recomputes the
+    weight-side cotangents in XLA; they are DCE'd when unused)."""
+    x, w_dil, b_dil, w_res, b_res, d = _inputs(t=256, c=8, d=8, seed=11)
+    tgt = jnp.asarray(np.random.RandomState(12).randn(256, 8).astype(np.float32))
+
+    def loss(block, wd, bd, wr, br):
+        return jnp.sum((block(x, wd, bd, wr, br, d) - tgt) ** 2)
+
+    g_fused = jax.grad(functools.partial(loss, fused_encoder_block),
+                       argnums=(0, 1, 2, 3))(w_dil, b_dil, w_res, b_res)
+    g_ref = jax.grad(functools.partial(loss, reference_encoder_block),
+                     argnums=(0, 1, 2, 3))(w_dil, b_dil, w_res, b_res)
+    for a, b, name in zip(g_fused, g_ref, ["w_dil", "b_dil", "w_res", "b_res"]):
+        assert float(jnp.max(jnp.abs(b))) > 0, f"degenerate test: {name} grad ~ 0"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
