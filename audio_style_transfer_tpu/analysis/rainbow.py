@@ -44,8 +44,14 @@ def rainbowgram(
     res_factor: float = RES_FACTOR,
     octaves: int = OCTAVES,
     notes_per_octave: int = NOTES_PER_OCTAVE,
+    cqt_override=None,
 ):
-    """(mag, dphase) arrays for plotting (reference rainbowgram.py:37-62)."""
+    """(mag, dphase) arrays for plotting (reference rainbowgram.py:37-62).
+
+    ``cqt_override``: optional precomputed complex CQT [n_bins, n_frames];
+    used by the fidelity tests to render the same image from an oracle
+    transform.
+    """
     import jax.numpy as jnp
 
     from audio_style_transfer_tpu.signal.cqt import C2_HZ, cqt
@@ -54,15 +60,18 @@ def rainbowgram(
     if not hop_length:
         hop_length = n_fft // 2
 
-    c = cqt(
-        jnp.asarray(np.asarray(audio, np.float32)),
-        sr=sr,
-        hop_length=hop_length,
-        bins_per_octave=int(notes_per_octave * over_sample),
-        n_bins=int(octaves * notes_per_octave * over_sample),
-        filter_scale=res_factor,
-        fmin=C2_HZ,
-    )
+    if cqt_override is not None:
+        c = jnp.asarray(np.asarray(cqt_override, np.complex64))
+    else:
+        c = cqt(
+            jnp.asarray(np.asarray(audio, np.float32)),
+            sr=sr,
+            hop_length=hop_length,
+            bins_per_octave=int(notes_per_octave * over_sample),
+            n_bins=int(octaves * notes_per_octave * over_sample),
+            filter_scale=res_factor,
+            fmin=C2_HZ,
+        )
     mag = jnp.abs(c)
     phase_angle = jnp.angle(c)
 

@@ -162,18 +162,12 @@ def encoder_trunk(
                 fused_encoder_block,
             )
 
-            # Mosaic's rotate (used for sub-sublane tap shifts) is
-            # 32-bit-only, so the d<8 layers (3 of 30) run the kernel in
-            # f32 — still fused, just upcast around the call.
-            layer_dtype = (
-                jnp.float32
-                if cfg.ae_dilation(k - 1) % 8 and jnp.dtype(dtype) != jnp.float32
-                else dtype
-            )
-
-            def cast(v, to=None):
-                to = to or layer_dtype
-                return v.astype(to) if v.dtype != to else v
+            # All 30 layers run the fused kernel in the compute dtype; the
+            # d<8 layers' sub-sublane tap shifts cast through f32 *inside*
+            # the kernel (Mosaic's rotate is 32-bit-only) while matmuls and
+            # HBM traffic stay narrow.
+            def cast(v):
+                return v.astype(dtype) if v.dtype != dtype else v
 
             enc = fused_encoder_block(
                 cast(enc[0]),
@@ -183,7 +177,6 @@ def encoder_trunk(
                 cast(params[f"ae_res_{k}"]["b"]),
                 cfg.ae_dilation(k - 1),
             )[None]
-            enc = enc.astype(dtype) if enc.dtype != dtype else enc
             extracts.append(enc)
             continue
         d = jax.nn.relu(enc)

@@ -9,21 +9,27 @@ intermediate [T, 128] arrays to HBM per layer.  This kernel fuses the whole
 block into a single pass per time tile:
 
   * the three conv taps become three [TILE, C] x [C, C] MXU matmuls over a
-    halo-extended tile (the input is pre-padded by the halo so every DMA
-    slice is static — padded rows are zeros, and relu(0) @ W = 0 reproduces
-    SAME-padding semantics exactly);
+    halo-extended tile, DMA'd straight from the UNPADDED input (three
+    static-size copies per tile: center + two halos; out-of-clip halo rows
+    are zero-filled in VMEM, and relu(0) @ W = 0 reproduces SAME-padding
+    semantics exactly — no padded copy is ever materialized in HBM);
   * relu / bias / residual-add run on the VPU in the same kernel;
   * HBM traffic drops from ~5 arrays/layer to read-x + write-out.
 
-Alignment: TPU sublane tiles are 8 rows (f32), so the halo H is the
-dilation rounded up to a multiple of 8 and all row slices start at
-multiples of 8; for dilations < 8 the ±d taps are produced with
+Alignment: HBM memref slices must start at sublane-tile multiples (16 rows
+for bf16, 8 for f32), so the halo H is the dilation rounded up to a
+multiple of 16; for dilations < 8 the ±d taps are produced with
 ``pltpu.roll`` instead of unaligned slices (which fault Mosaic).
+
+Batching: vmap over the activations flattens [B, T, C] to [B*T, C] and
+runs ONE kernel launch whose per-clip halo zeroing keeps clips independent
+(custom_vmap rules on the fwd/bwd wrappers).
 
 A custom VJP provides a fused backward kernel for the *waveform* gradient
 (the style-transfer hot path optimizes x with frozen weights, reference
-methods.py:133-137; weight cotangents are returned as zeros and the
-training path keeps using the XLA conv composition).
+methods.py:133-137). Weight cotangents are computed by an XLA recompute of
+the block — dead-code-eliminated when unused, correct when a training loss
+differentiates through the fused path.
 """
 
 from __future__ import annotations
@@ -39,15 +45,18 @@ DEFAULT_TILE = 2048
 _ALIGN = 8
 
 
-def _pick_tile(t: int, h: int = 0) -> int:
+def _pick_tile(t: int, h: int = 0, cap: int | None = None) -> int:
     """Largest power-of-two tile dividing t that fits VMEM with halo h.
 
-    The backward kernel's scoped VMEM scales with (tile + 4h); tile 4096 at
-    h=512 overflows the 16 MB budget, while small-dilation layers (24 of 30)
-    comfortably fit a 4096 tile — fewer grid programs, less per-program
-    overhead.
+    The backward kernel's scoped VMEM scales with 2*(tile + 4h) (two DMA
+    slots); tile 4096 overflows the 16 MB budget there, while the forward
+    kernel comfortably fits a 4096 tile at small halos — fewer grid
+    programs, less per-program overhead. ``cap`` lets the backward path
+    request the smaller bound.
     """
     budget = 4096 if h <= 128 else DEFAULT_TILE
+    if cap is not None:
+        budget = min(budget, cap)
     tile = min(t, budget)
     while t % tile:
         tile //= 2
@@ -55,14 +64,15 @@ def _pick_tile(t: int, h: int = 0) -> int:
 
 
 def _halo(d: int) -> int:
-    return -(-d // _ALIGN) * _ALIGN  # round up to sublane multiple
+    # Round up to 16 rows: HBM memref slices (the manual halo DMAs) must be
+    # aligned to the sublane tiling, which is 16 for bf16 (8 for f32).
+    return -(-d // 16) * 16
 
 
 def _relu(v):
-    """ReLU that avoids bf16 vector compares (unsupported by Mosaic)."""
-    if v.dtype == jnp.float32:
-        return jnp.maximum(v, 0.0)
-    return jnp.where(v.astype(jnp.float32) > 0.0, v, jnp.zeros_like(v))
+    """ReLU as a max (Mosaic handles bf16 max natively; bf16 vector
+    *compares* are what it rejects — see _pos_mask)."""
+    return jnp.maximum(v, jnp.zeros((), v.dtype))
 
 
 def _pos_mask(v):
@@ -97,40 +107,116 @@ def _taps(r_ext, h: int, d: int, n: int):
 # ---------------------------------------------------------------------- #
 
 
-def _fwd_kernel(d: int, h: int, tile: int, x_pad_ref, x_ref, w0_ref, w1_ref,
-                w2_ref, b1_ref, wr_ref, b2_ref, out_ref, scratch, sem):
-    i = pl.program_id(0)
-    # halo-extended input tile: rows [i*tile, i*tile + tile + 2h) of x_pad
-    dma = pltpu.make_async_copy(
-        x_pad_ref.at[pl.ds(i * tile, tile + 2 * h)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
+def _halo_copy_in(x_ref, scratch, sems, i, tile: int, h: int, cp: int):
+    """Fill ``scratch`` [tile + 2h, C] with rows [i*tile - h, i*tile + tile + h)
+    of the UNPADDED [rows, C] array ``x_ref`` — zeros outside the clip.
 
-    r = _relu(scratch[:])
+    Three static-size DMAs (center + two halos, edge ones zero-filled
+    instead) rather than one copy from a pre-padded array: XLA's jnp.pad
+    materialized a full padded copy in HBM per layer (~0.4 ms/eval across
+    the 30-layer fwd+bwd stack, measured in the round-2 profile).
+
+    ``cp`` is the number of grid programs per clip: rows may hold several
+    independent clips back to back (the batched path flattens [B, T, C] to
+    [B*T, C]); programs at clip boundaries zero their out-of-clip halo so
+    clips never leak into each other — identical numerics to per-clip SAME
+    padding.
+    """
+    pos = jax.lax.rem(i, cp)
+    pltpu.make_async_copy(
+        x_ref.at[pl.ds(i * tile, tile)],
+        scratch.at[pl.ds(h, tile)],
+        sems.at[0],
+    ).start()
+
+    @pl.when(pos == 0)
+    def _zero_left():
+        scratch[0:h] = jnp.zeros((h, scratch.shape[1]), scratch.dtype)
+
+    @pl.when(pos > 0)
+    def _left():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(i * tile - h, 16), h)],
+            scratch.at[pl.ds(0, h)],
+            sems.at[1],
+        ).start()
+
+    @pl.when(pos == cp - 1)
+    def _zero_right():
+        scratch[h + tile : 2 * h + tile] = jnp.zeros(
+            (h, scratch.shape[1]), scratch.dtype
+        )
+
+    @pl.when(pos < cp - 1)
+    def _right():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of((i + 1) * tile, 16), h)],
+            scratch.at[pl.ds(h + tile, h)],
+            sems.at[2],
+        ).start()
+
+
+def _halo_wait(sems, i, cp: int, x_ref, scratch, tile: int, h: int):
+    """Wait for the DMAs started by :func:`_halo_copy_in`."""
+    pos = jax.lax.rem(i, cp)
+    pltpu.make_async_copy(
+        x_ref.at[pl.ds(i * tile, tile)], scratch.at[pl.ds(h, tile)],
+        sems.at[0],
+    ).wait()
+
+    @pl.when(pos > 0)
+    def _left():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(i * tile - h, 16), h)],
+            scratch.at[pl.ds(0, h)],
+            sems.at[1],
+        ).wait()
+
+    @pl.when(pos < cp - 1)
+    def _right():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of((i + 1) * tile, 16), h)],
+            scratch.at[pl.ds(h + tile, h)],
+            sems.at[2],
+        ).wait()
+
+
+def _fwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, w0_ref,
+                w1_ref, w2_ref, b1_ref, wr_ref, b2_ref, out_ref, scratch,
+                sems):
+    """The residual-add input is the scratch's center rows (x itself) — x is
+    read from HBM exactly once, with no padded copy materialized."""
+    i = pl.program_id(0)
+    _halo_copy_in(x_ref, scratch, sems, i, tile, h, cp)
+    _halo_wait(sems, i, cp, x_ref, scratch, tile, h)
+
+    buf = scratch[:]
+    r = _relu(buf)
     left, center, right = _taps(r, h, d, tile)
     y = jnp.dot(left, w0_ref[:], preferred_element_type=jnp.float32)
     y += jnp.dot(center, w1_ref[:], preferred_element_type=jnp.float32)
     y += jnp.dot(right, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b1_ref[:]          # f32 accumulator
-    v = jnp.maximum(y, 0.0).astype(x_ref.dtype)
+    v = jnp.maximum(y, 0.0).astype(out_ref.dtype)
     z = jnp.dot(v, wr_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    out_ref[:] = x_ref[:] + z.astype(x_ref.dtype)
+    out_ref[:] = buf[h : h + tile] + z.astype(out_ref.dtype)
 
 
-def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
+def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int, clip_rows: int | None = None):
     t, c = x.shape
+    clip_rows = clip_rows or t
+    assert t % clip_rows == 0
     h = _halo(dilation)
-    tile = _pick_tile(t, h)
-    x_pad = jnp.pad(x, ((h, h), (0, 0)))
+    tile = _pick_tile(clip_rows, h)
+    nprog = t // tile
 
-    kernel = functools.partial(_fwd_kernel, dilation, h, tile)
+    kernel = functools.partial(_fwd_kernel, dilation, h, tile,
+                               clip_rows // tile)
     return pl.pallas_call(
         kernel,
-        grid=(t // tile,),
+        grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x_pad: manual halo DMA
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual halo DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
@@ -143,9 +229,9 @@ def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * h, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-    )(x_pad, x, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :], w_res[0],
+    )(x, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :], w_res[0],
       b_res[None, :])
 
 
@@ -154,23 +240,19 @@ def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
 # ---------------------------------------------------------------------- #
 
 
-def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
-                g_ref, w0_ref, w1_ref, w2_ref, b1_ref, wr_ref, out_ref,
+def _bwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, g_ref,
+                w0_ref, w1_ref, w2_ref, b1_ref, wr_ref, out_ref,
                 x_scratch, g_scratch, sems):
+    """Single-buffered halo DMA (a double-buffered variant measured SLOWER:
+    the halved tile it needs to stay inside scoped VMEM costs more in extra
+    grid programs than the copy overlap buys — see BENCH_NOTES.md)."""
     i = pl.program_id(0)
     ext = tile + 2 * h
-    # x halo of 2h: rows [i*tile, i*tile + tile + 4h) of x_pad2
-    dma_x = pltpu.make_async_copy(
-        x_pad2_ref.at[pl.ds(i * tile, tile + 4 * h)], x_scratch, sems.at[0]
-    )
-    # g halo of h: rows [i*tile, i*tile + tile + 2h) of g_pad
-    dma_g = pltpu.make_async_copy(
-        g_pad_ref.at[pl.ds(i * tile, tile + 2 * h)], g_scratch, sems.at[1]
-    )
-    dma_x.start()
-    dma_g.start()
-    dma_x.wait()
-    dma_g.wait()
+    # x with a 2h halo, g with an h halo — both from the unpadded arrays.
+    _halo_copy_in(x_ref, x_scratch, sems.at[0], i, tile, 2 * h, cp)
+    _halo_copy_in(g_ref, g_scratch, sems.at[1], i, tile, h, cp)
+    _halo_wait(sems.at[0], i, cp, x_ref, x_scratch, tile, 2 * h)
+    _halo_wait(sems.at[1], i, cp, g_ref, g_scratch, tile, h)
 
     r = _relu(x_scratch[:])  # [tile + 4h, C]
     # recompute y on the extended window [i*tile - h, i*tile + tile + h):
@@ -182,8 +264,9 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
     y = y + b1_ref[:]
 
     g_ext = g_scratch[:]  # zeros outside the sequence -> dy zero there
+    dtype = out_ref.dtype
     dv = jnp.dot(g_ext, wr_ref[:].T, preferred_element_type=jnp.float32)
-    dy = jnp.where(y > 0.0, dv, 0.0).astype(x_ref.dtype)  # [ext, C] (y is f32)
+    dy = jnp.where(y > 0.0, dv, 0.0).astype(dtype)  # [ext, C] (y is f32)
 
     # The k-th tap reads x[t + o_k] (o in {-d, 0, +d}), so its contribution
     # to dx[t] comes from dy at t - o_k.
@@ -192,29 +275,30 @@ def _bwd_kernel(d: int, h: int, tile: int, x_pad2_ref, g_pad_ref, x_ref,
     dr += jnp.dot(dy_center, w1_ref[:].T, preferred_element_type=jnp.float32)
     dr += jnp.dot(dy_left, w2_ref[:].T, preferred_element_type=jnp.float32)
 
+    # g center rows are g itself — read from HBM once via the halo DMA.
     x_center = x_scratch[2 * h : tile + 2 * h]
-    dx = g_ref[:] + jnp.where(
-        _pos_mask(x_center), dr.astype(x_ref.dtype), jnp.zeros((), x_ref.dtype)
+    dx = g_scratch[h : h + tile] + jnp.where(
+        _pos_mask(x_center), dr.astype(dtype), jnp.zeros((), dtype)
     )
     out_ref[:] = dx
 
 
-def _bwd(x, g, w_dil, b_dil, w_res, dilation: int):
+def _bwd(x, g, w_dil, b_dil, w_res, dilation: int, clip_rows: int | None = None):
     t, c = x.shape
+    clip_rows = clip_rows or t
+    assert t % clip_rows == 0
     h = _halo(dilation)
-    tile = _pick_tile(t, h)
-    x_pad2 = jnp.pad(x, ((2 * h, 2 * h), (0, 0)))
-    g_pad = jnp.pad(g, ((h, h), (0, 0)))
+    tile = _pick_tile(clip_rows, h)
 
-    kernel = functools.partial(_bwd_kernel, dilation, h, tile)
+    nprog = t // tile
+    kernel = functools.partial(_bwd_kernel, dilation, h, tile,
+                               clip_rows // tile)
     return pl.pallas_call(
         kernel,
-        grid=(t // tile,),
+        grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x_pad2
-            pl.BlockSpec(memory_space=pl.ANY),  # g_pad
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x (unpadded)
+            pl.BlockSpec(memory_space=pl.ANY),  # g (unpadded)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
@@ -227,15 +311,67 @@ def _bwd(x, g, w_dil, b_dil, w_res, dilation: int):
         scratch_shapes=[
             pltpu.VMEM((tile + 4 * h, c), x.dtype),
             pltpu.VMEM((tile + 2 * h, c), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
-    )(x_pad2, g_pad, x, g, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :],
+    )(x, g, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :],
       w_res[0])
 
 
 # ---------------------------------------------------------------------- #
 # custom_vjp wiring
 # ---------------------------------------------------------------------- #
+
+
+def _only_x_batched(in_batched, what: str):
+    if not in_batched[0] or any(in_batched[1:]):
+        raise NotImplementedError(
+            f"fused encoder {what}: only the activation argument may be "
+            f"vmapped (got in_batched={in_batched}); weights are shared "
+            "across clips in the batched transfer path"
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _batchable_fwd(dilation: int):
+    """_fwd with a custom vmap rule: a batch of clips is flattened to
+    [B*T, C] and run through ONE clip-aware kernel launch (the per-clip
+    halo zeroing keeps clips independent), instead of rejecting vmap's
+    batched ANY-space blocks."""
+
+    @jax.custom_batching.custom_vmap
+    def fwd(x, w_dil, b_dil, w_res, b_res):
+        return _fwd(x, w_dil, b_dil, w_res, b_res, dilation)
+
+    @fwd.def_vmap
+    def _rule(axis_size, in_batched, x, w_dil, b_dil, w_res, b_res):
+        _only_x_batched(in_batched, "forward")
+        b, t, c = x.shape
+        out = _fwd(x.reshape(b * t, c), w_dil, b_dil, w_res, b_res,
+                   dilation, clip_rows=t)
+        return out.reshape(b, t, c), True
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _batchable_bwd(dilation: int):
+    @jax.custom_batching.custom_vmap
+    def bwd(x, g, w_dil, b_dil, w_res):
+        return _bwd(x, g, w_dil, b_dil, w_res, dilation)
+
+    @bwd.def_vmap
+    def _rule(axis_size, in_batched, x, g, w_dil, b_dil, w_res):
+        if not (in_batched[0] and in_batched[1]) or any(in_batched[2:]):
+            raise NotImplementedError(
+                f"fused encoder backward: x and g must both be vmapped and "
+                f"weights unbatched (got in_batched={in_batched})"
+            )
+        b, t, c = x.shape
+        out = _bwd(x.reshape(b * t, c), g.reshape(b * t, c),
+                   w_dil, b_dil, w_res, dilation, clip_rows=t)
+        return out.reshape(b, t, c), True
+
+    return bwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -253,18 +389,22 @@ def fused_encoder_block(x, w_dil, b_dil, w_res, b_res, dilation: int):
     recompute, so the hot path pays nothing; when a training loss
     differentiates through the fused path, the weight gradients are correct
     instead of silently zero.
+
+    vmap over the activations (weights shared) flattens the batch into one
+    clip-aware kernel launch — the batched transfer path (bench config 4)
+    runs fully fused.
     """
-    return _fwd(x, w_dil, b_dil, w_res, b_res, dilation)
+    return _batchable_fwd(dilation)(x, w_dil, b_dil, w_res, b_res)
 
 
 def _vjp_fwd(x, w_dil, b_dil, w_res, b_res, dilation: int):
-    out = _fwd(x, w_dil, b_dil, w_res, b_res, dilation)
+    out = _batchable_fwd(dilation)(x, w_dil, b_dil, w_res, b_res)
     return out, (x, w_dil, b_dil, w_res, b_res)
 
 
 def _vjp_bwd(dilation: int, res, g):
     x, w_dil, b_dil, w_res, b_res = res
-    dx = _bwd(x, g, w_dil, b_dil, w_res, dilation)
+    dx = _batchable_bwd(dilation)(x, g, w_dil, b_dil, w_res)
     # Weight-side VJP through the unfused XLA composition (recompute; pruned
     # by DCE whenever the caller does not consume weight cotangents).
     _, pull = jax.vjp(

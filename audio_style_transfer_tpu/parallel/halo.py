@@ -36,8 +36,8 @@ from audio_style_transfer_tpu.models.wavenet_ae import (
     encoder_trunk,
     receptive_field_radius,
 )
-from audio_style_transfer_tpu.signal.mu_law import inv_mu_law
-from audio_style_transfer_tpu.signal.stft import stft_l1
+from audio_style_transfer_tpu.signal.mu_law import inv_mu_law, safe_abs
+from audio_style_transfer_tpu.signal.stft import stft
 from audio_style_transfer_tpu.transfer.grams import l2_normalize
 from audio_style_transfer_tpu.transfer.losses import LossSpec
 
@@ -93,6 +93,54 @@ def time_sharded_trunk(params, x_local, cfg: WaveNetAEConfig, axis_name: str = "
     return [e[:, radius:-radius, :] for e in extracts]
 
 
+def sharded_stft_l1(
+    a_local,
+    axis_name: str,
+    frame_length: int = 1024,
+    frame_step: int = 512,
+):
+    """Exact global ``stft_l1`` over a time-sharded signal.
+
+    The global non-centered STFT (reference methods.py:122) has frames that
+    straddle shard boundaries. Each device fetches ``frame_length -
+    frame_step`` samples from its right neighbour so boundary frames are
+    computed exactly once (by the left shard); frames whose global index
+    falls past the end of the signal are masked off the sum. The result —
+    sum over all global frames / global element count — is bit-comparable to
+    the single-device regularizer, and so is its gradient (the halo
+    ppermute reverses automatically under AD).
+
+    Requires chunk % frame_step == 0 (the long-form engine pads to this).
+
+    Args:
+      a_local: [chunk] local waveform shard (audio domain, post inv_mu_law).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    chunk = a_local.shape[-1]
+    if chunk % frame_step != 0:
+        raise ValueError(
+            f"sharded_stft_l1 needs chunk % frame_step == 0, got {chunk} % {frame_step}"
+        )
+    halo = frame_length - frame_step
+
+    # My right neighbour's first `halo` samples (the last device receives
+    # wrap-around data, but all its frames using it are masked below).
+    right_halo = jax.lax.ppermute(
+        a_local[..., :halo], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    ext = jnp.concatenate([a_local, right_halo], axis=-1)
+
+    s = stft(ext, frame_length, frame_step)  # [m, F]
+    m = s.shape[-2]
+    n_global = 1 + (n * chunk - frame_length) // frame_step
+    in_range = (idx * m + jnp.arange(m)) < n_global
+    vals = safe_abs(jnp.real(s)) + safe_abs(jnp.imag(s))
+    local_sum = jnp.sum(vals * in_range[..., :, None].astype(vals.dtype))
+    total = jax.lax.psum(local_sum, axis_name)
+    return total / (n_global * s.shape[-1])
+
+
 def _local_grams(extracts, layer_ids: Sequence[int], gatys: bool):
     """Unnormalized partial grams of a local time chunk."""
     stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)  # [L, t, C]
@@ -144,11 +192,9 @@ def make_sharded_loss(
 
         loss = content_loss + spec.lambd * style_loss
         if spec.gamma != 0.0:
-            # Regularizer: framewise L1 of the local STFT; frames never
-            # straddle shards when chunk % frame_step == 0, so the pmean
-            # matches the non-centered global STFT up to the dropped
-            # cross-boundary frames.
-            reg = jax.lax.pmean(stft_l1(inv_mu_law(x_local[0])), axis_name)
+            # Exact global regularizer: one extra frame of halo makes the
+            # boundary-straddling frames exact (see sharded_stft_l1).
+            reg = sharded_stft_l1(inv_mu_law(x_local[0]), axis_name)
             loss = loss + spec.gamma * reg
         return loss
 

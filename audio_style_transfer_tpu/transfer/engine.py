@@ -100,10 +100,13 @@ class StyleTransfer:
         )
         self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
         # Batched variant (bench config 4: K clips vmapped on one chip,
-        # encoder weights shared): vmap over (x0, phi_c, phi_s). Pallas
-        # kernels don't support vmap's batched ANY-space blocks, so the
-        # batched path always runs the XLA conv composition — with K clips
-        # in flight the MXU is saturated without the fused kernel anyway.
+        # encoder weights shared): vmap over (x0, phi_c, phi_s). The fused
+        # encoder block supports vmap via a custom batching rule that
+        # flattens the batch into one clip-aware kernel launch
+        # (ops/pallas_encoder.py), but measured slower than the XLA conv
+        # composition at B=8 (layout-hostile cotangents into the manual
+        # DMAs; see BENCH_NOTES.md), so the batched path defaults to XLA
+        # convs — at 8 clips in flight the MXU is well utilized either way.
         batch_self = self
         if spec.fused_encoder:
             batch_self = StyleTransfer(

@@ -62,15 +62,36 @@ def style_gram(
     Assumes batch size 1 (taps are [1, T, C]), exactly like the reference's
     axis-0 concat.
     """
-    stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)  # [L, T, C]
-    if not gatys:
-        stl = jnp.transpose(stl, (2, 0, 1))  # [C, L, T]
-    else:
+    if gatys:
+        stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)
         stl = jnp.transpose(stl, (0, 2, 1))  # [L, C, T]
-    gram = jnp.matmul(
-        stl, jnp.transpose(stl, (0, 2, 1)), preferred_element_type=jnp.float32
-    ).astype(stl.dtype)
-    gram = l2_normalize(gram, axes=(1, 2))
-    if nb_channels < gram.shape[0] and not gatys:
+        gram = jnp.matmul(
+            stl, jnp.transpose(stl, (0, 2, 1)),
+            preferred_element_type=jnp.float32,
+        ).astype(stl.dtype)
+        return l2_normalize(gram, axes=(1, 2))
+
+    # "ours" channel-wise gram, computed pairwise: G[c,i,j] = sum_t
+    # E_i[t,c]·E_j[t,c] as elementwise products + column sums instead of a
+    # batched matmul on a [C, L, T] transpose. The taps then stay in their
+    # native [T, C] layout end to end — on TPU the transpose form forced XLA
+    # to materialize ~40 MB layout copies around the Pallas encoder's
+    # custom-calls, ~0.75 ms/eval of the transfer hot path (round-2
+    # profile). bf16 taps are multiplied in f32 (exact: 8-bit mantissa
+    # products fit f32), matching the MXU's accumulation semantics.
+    taps = [extracts[i][0] for i in layer_ids]  # each [T, C]
+    n = len(taps)
+    pair = {}
+    for i in range(n):
+        for j in range(i, n):
+            p = taps[i].astype(jnp.float32) * taps[j].astype(jnp.float32)
+            pair[(i, j)] = jnp.sum(p, axis=0)  # [C]
+    rows = [
+        jnp.stack([pair[(min(i, j), max(i, j))] for j in range(n)], axis=0)
+        for i in range(n)
+    ]
+    gram = jnp.transpose(jnp.stack(rows, axis=0), (2, 0, 1))  # [C, L, L] f32
+    gram = l2_normalize(gram.astype(taps[0].dtype), axes=(1, 2))
+    if nb_channels < gram.shape[0]:
         gram = gram[:nb_channels]
     return gram

@@ -70,7 +70,10 @@ def test_sharded_trunk_matches_single_device():
     )
 
 
-def test_sharded_loss_matches_single_device():
+def test_sharded_loss_and_gradient_match_single_device():
+    """Loss AND full gradient equality vs the single-device program,
+    including the STFT regularizer (gamma != 0): exactness is what lets
+    L-BFGS consume the sharded value_and_grad unchanged."""
     mesh = make_mesh(4, axis_name="time")
     params, x = _setup(seed=1)
     spec = LossSpec(
@@ -79,7 +82,7 @@ def test_sharded_loss_matches_single_device():
         cnt_channels=8,
         nb_channels=8,
         lambd=10.0,
-        gamma=0.0,  # frame-straddling makes the sharded reg approximate
+        gamma=0.01,  # exact sharded regularizer (halo.sharded_stft_l1)
     )
     # targets from a second clip
     _, x2 = _setup(seed=2)
@@ -92,13 +95,46 @@ def test_sharded_loss_matches_single_device():
         nb_channels=spec.nb_channels,
     )
 
-    ref_loss, _ = transfer_loss(params, x, phi_c, phi_s, SMALL, spec)
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda x: transfer_loss(params, x, phi_c, phi_s, SMALL, spec)[0]
+    )(x)
 
     loss_fn = make_sharded_loss(params, phi_c, phi_s, SMALL, spec, mesh, "time")
-    got = jax.jit(loss_fn)(x)
+    got, got_grad = jax.jit(jax.value_and_grad(loss_fn))(x)
     np.testing.assert_allclose(float(got), float(ref_loss), rtol=2e-4)
 
-    # gradient flows through the collectives
-    g = jax.grad(lambda x: loss_fn(x))(x)
-    assert np.all(np.isfinite(np.asarray(g)))
-    assert float(jnp.abs(g).max()) > 0
+    ref_grad = np.asarray(ref_grad)
+    got_grad = np.asarray(got_grad)
+    assert float(np.max(np.abs(ref_grad))) > 0
+    scale = np.max(np.abs(ref_grad))
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_sharded_stft_regularizer_exact():
+    """sharded_stft_l1 == single-device stft_l1 value and gradient, incl.
+    the boundary-straddling frames the pre-round-2 code dropped."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from audio_style_transfer_tpu.parallel.halo import sharded_stft_l1
+    from audio_style_transfer_tpu.signal.stft import stft_l1
+
+    mesh = make_mesh(4, axis_name="time")
+    t = 4096  # chunk 1024 per device; frames straddle every boundary
+    a = jnp.asarray(np.random.RandomState(5).uniform(-0.9, 0.9, t), jnp.float32)
+
+    def sharded(a):
+        return shard_map(
+            lambda al: sharded_stft_l1(al, "time"),
+            mesh=mesh,
+            in_specs=(P("time"),),
+            out_specs=P(),
+            check_vma=False,
+        )(a)
+
+    ref_v, ref_g = jax.value_and_grad(stft_l1)(a)
+    got_v, got_g = jax.jit(jax.value_and_grad(sharded))(a)
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=1e-5, atol=1e-8
+    )

@@ -2,88 +2,85 @@
 
 The north star requires style/content losses within 1% of the TF reference,
 whose optimizer is SciPy's Fortran L-BFGS-B (reference methods.py:133-137).
-Here both optimizers minimize the identical transfer loss on a small model
-and must land at final losses within 1% of each other.
+Both optimizers minimize the identical transfer loss; final losses must
+agree TWO-SIDED within 1% — no "ours is lower" escape — on a supermajority
+of seeds. The only excluded seeds are those where SciPy itself stalls on an
+f32 plateau (its factr test compares f32-rounded losses, so it can declare
+CONVERGENCE with a fraction of our achieved reduction); on those, ours must
+be at least as good.
+
+Full-size evidence (T=16384, real 30-layer geometry, maxiter=100) runs via
+the `scipy_parity` harness in a TPU subprocess below (the in-process suite
+is pinned to CPU where one evaluation costs ~15 s). Measured on v5e:
+rel -0.024% / +0.018% (seeds 0/1); see BENCH_NOTES.md.
 """
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+import json
+import os
+import subprocess
+import sys
+
 import pytest
-import scipy.optimize
 
-from audio_style_transfer_tpu.models import WaveNetAEConfig, init_params
-from audio_style_transfer_tpu.signal import mu_law_numpy
-from audio_style_transfer_tpu.transfer import LBFGSOptions, lbfgs_minimize
-from audio_style_transfer_tpu.transfer.losses import LossSpec, transfer_embeds, transfer_loss
+from audio_style_transfer_tpu.transfer.scipy_parity import run_parity
 
-SMALL = WaveNetAEConfig(
-    num_layers=2,
-    num_stages=2,
-    width=8,
-    skip_width=8,
-    ae_num_layers=4,
-    ae_num_stages=2,
-    ae_width=8,
-    ae_hop_length=64,
-    ae_bottleneck_width=4,
-)
-
-SPEC = LossSpec(
-    cont_lyr_ids=(3,),
-    style_layer_ids=(0, 1, 2, 3),
-    cnt_channels=8,
-    nb_channels=8,
-    lambd=10.0,
-    gamma=0.01,
-)
+N_SEEDS = 5
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_final_loss_within_one_percent_of_scipy(seed):
-    params = init_params(jax.random.PRNGKey(42), SMALL)
-    rng = np.random.RandomState(seed)
-    t = 2048
-
-    aud_c = rng.uniform(-0.8, 0.8, (1, t))
-    aud_s = rng.uniform(-0.8, 0.8, (1, t))
-    xq_c = jnp.asarray(mu_law_numpy(aud_c), jnp.float32)
-    xq_s = jnp.asarray(mu_law_numpy(aud_s), jnp.float32)
-    phi_c, _ = transfer_embeds(params, xq_c, SMALL, SPEC)
-    _, phi_s = transfer_embeds(params, xq_s, SMALL, SPEC)
-
-    def loss(x):
-        return transfer_loss(params, x, phi_c, phi_s, SMALL, SPEC)[0]
-
-    vg = jax.jit(jax.value_and_grad(loss))
-    x0 = jnp.full((1, t), 1e-6, jnp.float32)
-
-    # ours: one fused epoch, maxiter 100 (reference epoch semantics)
-    res = jax.jit(
-        lambda x: lbfgs_minimize(vg, x, LBFGSOptions(maxiter=100))
-    )(x0)
-    ours = float(res.f)
-
-    # scipy L-BFGS-B with identical settings
-    def f_np(x64):
-        v, g = vg(jnp.asarray(x64, jnp.float32).reshape(1, t))
-        return float(v), np.asarray(g, np.float64).reshape(-1)
-
-    sp = scipy.optimize.minimize(
-        f_np,
-        np.full(t, 1e-6),
-        jac=True,
-        method="L-BFGS-B",
-        options={"maxiter": 100},
+def test_final_loss_two_sided_one_percent_of_scipy():
+    records = run_parity(t=2048, maxiter=100, seeds=N_SEEDS, toy=True)
+    comparable = [r for r in records if not r["scipy_stalled"]]
+    report = "\n".join(
+        f"seed {r['seed']}: ours {r['ours']:.6f} ({r['ours_evals']} evals) "
+        f"scipy {r['scipy']:.6f} ({r['scipy_evals']} evals) "
+        f"rel {r['rel']:+.4%} stalled={r['scipy_stalled']}"
+        for r in records
     )
-    scipy_loss = float(sp.fun)
+    # Supermajority of seeds must be a clean two-sided comparison.
+    assert len(comparable) >= N_SEEDS - 1, f"too many SciPy stalls:\n{report}"
+    for r in comparable:
+        assert r["reduction_ours"] > 0.5, report
+        assert abs(r["rel"]) < 0.01, f"two-sided 1% violated:\n{report}"
+    for r in records:
+        if r["scipy_stalled"]:
+            # SciPy quit on an f32 plateau; we must never be *worse*.
+            assert r["ours"] <= r["scipy"] * 1.01, report
 
-    l0 = float(loss(x0))
-    # both must make real progress and agree within 1% relative to the
-    # achieved reduction
-    assert ours < 0.5 * l0
-    assert scipy_loss < 0.5 * l0
-    denom = max(abs(scipy_loss), 1e-3)
-    assert abs(ours - scipy_loss) / denom < 0.01 or ours < scipy_loss, (
-        f"ours={ours} scipy={scipy_loss} start={l0}"
+
+@pytest.mark.slow
+def test_full_size_parity_on_accelerator():
+    """Full geometry, T=16384, maxiter=100, two-sided 1% — VERDICT r1 item 8.
+
+    Runs the scipy_parity harness in a fresh subprocess WITHOUT the CPU pin
+    so it uses the real TPU (one evaluation is ~5 ms there vs ~15 s on CPU).
+    Skipped when no accelerator is reachable — the recorded numbers in
+    BENCH_NOTES.md and the toy two-sided test above stand in.
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ast_tpu_xla_cache"
+    probe = subprocess.run(
+        [sys.executable, "-m", "audio_style_transfer_tpu.transfer.scipy_parity",
+         "--device_check"],
+        capture_output=True, text=True, env=env, timeout=300,
     )
+    platform = ""
+    if probe.returncode == 0 and probe.stdout.strip():
+        platform = json.loads(probe.stdout.strip().splitlines()[-1])["platform"]
+    if platform in ("", "cpu"):
+        pytest.skip(f"no accelerator for full-size parity (platform={platform!r})")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "audio_style_transfer_tpu.transfer.scipy_parity",
+         "--t", "16384", "--maxiter", "100", "--seeds", "2", "--tol", "0.01"],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"full-size parity failed:\nstdout:{proc.stdout}\nstderr:{proc.stderr[-2000:]}"
+    )
+    records = [json.loads(l) for l in proc.stdout.strip().splitlines()
+               if l.startswith("{")]
+    assert len(records) == 2
+    for r in records:
+        # unconditional two-sided 1% at full size (measured: ~0.02%)
+        assert abs(r["rel"]) < 0.01, records

@@ -113,3 +113,26 @@ def test_weight_gradients_match_reference():
         assert float(jnp.max(jnp.abs(b))) > 0, f"degenerate test: {name} grad ~ 0"
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_vmap_batches_through_clip_aware_kernel():
+    """vmap over clips flattens to ONE kernel launch with per-clip halo
+    zeroing — each lane must equal the single-clip result exactly (no
+    leakage across clip boundaries)."""
+    x, w_dil, b_dil, w_res, b_res, d = _inputs(t=512, c=8, d=16, seed=21)
+    xb = jnp.stack([x, x[::-1], x * 2.0])
+
+    out_b = jax.vmap(lambda z: fused_encoder_block(z, w_dil, b_dil, w_res, b_res, d))(xb)
+    for lane in range(3):
+        single = fused_encoder_block(xb[lane], w_dil, b_dil, w_res, b_res, d)
+        np.testing.assert_allclose(np.asarray(out_b[lane]), np.asarray(single),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"lane {lane}")
+
+    # gradients through the batched bwd kernel
+    gb = jax.vmap(jax.grad(lambda z: jnp.sum(
+        fused_encoder_block(z, w_dil, b_dil, w_res, b_res, d) ** 2)))(xb)
+    for lane in range(3):
+        gs = jax.grad(lambda z: jnp.sum(
+            fused_encoder_block(z, w_dil, b_dil, w_res, b_res, d) ** 2))(xb[lane])
+        np.testing.assert_allclose(np.asarray(gb[lane]), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"lane {lane}")
