@@ -52,6 +52,7 @@ def transfer_longform(
     ot_components: int | None = None,
     crossfade: int = 256,
     mesh=None,
+    windows_per_device: int = 8,
 ) -> LongformResult:
     """Chunked long-form transfer with the reference's gram-translation trick
     applied per window, optionally through the NMF+OT palette transform.
@@ -65,6 +66,12 @@ def transfer_longform(
       crossfade: samples of linear crossfade when stitching windows.
       mesh: optional 1-D jax Mesh — windows shard across its devices
         (the v5e-8 scale-out path; window count must divide device count).
+      windows_per_device: windows optimized concurrently per chip. A 60-s
+        clip is 58 windows; running all of them in one vmapped program
+        exhausts a single chip's HBM (each lane keeps 30 residual taps
+        alive for the backward pass), so windows run in groups of
+        windows_per_device * n_devices. Groups are padded to the mesh size
+        by repeating the last window, then trimmed.
     """
     spec = engine.spec
     window = spec.batch_size
@@ -89,7 +96,20 @@ def transfer_longform(
         phis.append(phi)
     phis = np.stack(phis)
 
-    result = engine.optimize_batch(phi_cs, phis, epochs=epochs, mesh=mesh)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    group = max(windows_per_device * n_dev, n_dev)
+    parts = []
+    for s in range(0, k, group):
+        pc, ph = phi_cs[s : s + group], phis[s : s + group]
+        pad = (-len(pc)) % n_dev  # mesh requires a multiple of n_dev lanes
+        if pad:
+            pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
+            ph = np.concatenate([ph, np.repeat(ph[-1:], pad, axis=0)])
+        r = engine.optimize_batch(pc, ph, epochs=epochs, mesh=mesh)
+        if pad:
+            r = {key: v[: len(v) - pad] for key, v in r.items()}
+        parts.append(r)
+    result = {key: np.concatenate([p[key] for p in parts]) for key in parts[0]}
 
     # Stitch windows with a short crossfade to hide seam discontinuities.
     outs = [inv_mu_law_numpy(result["x"][i, 0]) for i in range(k)]

@@ -52,6 +52,9 @@ def main():
     parser.add_argument("--no_fused", dest="fused", action="store_false")
     parser.add_argument("--suite", action="store_true",
                         help="also run gatys / full-stack / batched configs")
+    parser.add_argument("--longform", action="store_true",
+                        help="also run the 60-s chunked+OT long-form config "
+                             "(BASELINE config 5; ~5 min single-chip)")
     parser.add_argument("--warmup", type=int, default=1)
     args = parser.parse_args()
 
@@ -136,8 +139,42 @@ def main():
 
     if args.suite:
         out["suite"] = run_suite(params, args, content, style)
+    if args.longform:
+        out["longform"] = run_longform(params, args)
 
     print(json.dumps(out))
+
+
+def run_longform(params, args):
+    """BASELINE config 5 (single-chip flavour): 60 s of audio, chunked into
+    16384-sample windows, OT-transformed style target, windows optimized in
+    groups of 8. On a v5e-8 the groups shard over the mesh (pass mesh= to
+    transfer_longform); here the same program runs them sequentially."""
+    from audio_style_transfer_tpu.transfer import StyleTransfer, TransferSpec
+    from audio_style_transfer_tpu.transfer.longform import transfer_longform
+
+    spec = TransferSpec(
+        stack=0, batch_size=args.batch_size, epochs=min(args.epochs, 20),
+        maxiter=args.maxiter, early_stop_evals=0,
+        compute_dtype=args.precision, fused_encoder=False,
+        write_artifacts=False,
+    )
+    engine = StyleTransfer(spec, params)
+    content = synth_audio(60.0, kind="content")
+    style = synth_audio(4.0, kind="style")
+    t0 = time.time()
+    res = transfer_longform(engine, content, style, epochs=spec.epochs,
+                            ot_components=8)
+    dt = time.time() - t0
+    evals = int(np.sum(res.per_window["evals"]))
+    return {
+        "wallclock_s": round(dt, 1),
+        "windows": int(res.per_window["evals"].shape[0]),
+        "epochs": spec.epochs,
+        "evals": evals,
+        "iters_per_sec": round(evals / dt, 2),
+        "audio_seconds": round(len(res.audio) / 16000.0, 1),
+    }
 
 
 def run_suite(params, args, content, style):
