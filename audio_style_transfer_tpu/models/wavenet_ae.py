@@ -54,6 +54,13 @@ class WaveNetAEConfig:
     # the encoder trunk. Transfer-only: the fused VJP produces waveform
     # gradients with frozen weights. Requires a TPU backend.
     fused_encoder: bool = False
+    # Rematerialize residual blocks in the backward pass (jax.checkpoint).
+    # Essential for training at the reference's batch geometry: without it
+    # the width-512 decoder keeps ~40 GB of gated activations alive on the
+    # backward pass at total_batch 32 x 6144 samples (measured OOM on one
+    # 16 GB v5e chip). Off by default — transfer never builds the decoder
+    # and keeps every encoder tap as a loss input anyway.
+    remat: bool = False
 
     def dilation(self, layer: int) -> int:
         """Decoder dilation pattern (reference model.py:149)."""
@@ -179,18 +186,19 @@ def encoder_trunk(
             )[None]
             extracts.append(enc)
             continue
-        d = jax.nn.relu(enc)
-        d = _apply(
-            params,
-            f"ae_dilatedconv_{k}",
-            d,
-            dilation=cfg.ae_dilation(k - 1),
-            causal=False,
-            dtype=dtype,
+        def enc_block(k: int, enc, p_dil, p_res):
+            d = jax.nn.relu(enc)
+            d = conv1d(d, p_dil["w"].astype(dtype), p_dil["b"].astype(dtype),
+                       dilation=cfg.ae_dilation(k - 1), causal=False)
+            d = jax.nn.relu(d)
+            d = conv1d(d, p_res["w"].astype(dtype), p_res["b"].astype(dtype))
+            return masked(enc + d)
+
+        if cfg.remat:
+            enc_block = jax.checkpoint(enc_block, static_argnums=(0,))
+        enc = enc_block(
+            k, enc, params[f"ae_dilatedconv_{k}"], params[f"ae_res_{k}"]
         )
-        d = jax.nn.relu(d)
-        d = _apply(params, f"ae_res_{k}", d, dtype=dtype)
-        enc = masked(enc + d)
         extracts.append(enc)
 
     # enc_ duplicate tap (reference model.py:118-119)
@@ -262,21 +270,30 @@ def decode_logits(params: Params, x_quantized, encoding, cfg: WaveNetAEConfig | 
     l = _apply(params, "startconv", l, causal=True, dtype=dtype)
     s = _apply(params, "skip_start", l, dtype=dtype)
 
-    for i in range(1, cfg.num_layers + 1):
-        d = _apply(
-            params,
-            f"dilatedconv_{i}",
-            l,
-            dilation=cfg.dilation(i - 1),
-            causal=True,
-            dtype=dtype,
-        )
-        cond = _apply(params, f"cond_map_{i}", encoding, dtype=dtype)
+    def block(i: int, l, s, p_dil, p_cond, p_res, p_skip, encoding):
+        d = conv1d(l, p_dil["w"].astype(dtype), p_dil["b"].astype(dtype),
+                   dilation=cfg.dilation(i - 1), causal=True)
+        cond = conv1d(encoding, p_cond["w"].astype(dtype),
+                      p_cond["b"].astype(dtype))
         d = condition(d, cond)
         m = d.shape[2] // 2
         d = jax.nn.sigmoid(d[:, :, :m]) * jnp.tanh(d[:, :, m:])
-        l = l + _apply(params, f"res_{i}", d, dtype=dtype)
-        s = s + _apply(params, f"skip_{i}", d, dtype=dtype)
+        l = l + conv1d(d, p_res["w"].astype(dtype), p_res["b"].astype(dtype))
+        s = s + conv1d(d, p_skip["w"].astype(dtype), p_skip["b"].astype(dtype))
+        return l, s
+
+    if cfg.remat:
+        # Keep only each block's (l, s) inputs for the backward pass; the
+        # [B, T, 2*width] gated internals are recomputed. This is what fits
+        # the reference's batch-32 training step on a single chip's HBM.
+        block = jax.checkpoint(block, static_argnums=(0,))
+
+    for i in range(1, cfg.num_layers + 1):
+        l, s = block(
+            i, l, s,
+            params[f"dilatedconv_{i}"], params[f"cond_map_{i}"],
+            params[f"res_{i}"], params[f"skip_{i}"], encoding,
+        )
 
     s = jax.nn.relu(s)
     s = _apply(params, "out1", s, dtype=dtype)

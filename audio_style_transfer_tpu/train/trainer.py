@@ -56,6 +56,13 @@ class TrainConfig:
     logdir: str = "/tmp/nsynth"
     save_every_steps: int = 1000
     log_every_steps: int = 250
+    # Split each device's batch into microbatches and accumulate gradients
+    # (lax.scan) before the DP all-reduce — bounds activation memory without
+    # changing the synchronous-update semantics. None = single shot.
+    microbatch: int | None = None
+    # Rematerialize residual blocks on backward (see WaveNetAEConfig.remat);
+    # required to fit the reference's batch-32 step on one 16 GB chip.
+    remat: bool = True
 
 
 # Train state is a plain dict pytree: {params, opt_state, ema, step}.
@@ -81,6 +88,8 @@ class Trainer:
     ):
         self.cfg = cfg or TrainConfig()
         self.model_cfg = model_cfg or WaveNetAEConfig()
+        if self.cfg.remat and not self.model_cfg.remat:
+            self.model_cfg = dataclasses.replace(self.model_cfg, remat=True)
         if mesh is None:
             from audio_style_transfer_tpu.parallel import make_mesh
 
@@ -113,8 +122,31 @@ class Trainer:
             out = forward(params, {"wav": wav}, model_cfg)
             return out["loss"]
 
+        def value_and_grads(params, wav):
+            if not cfg.microbatch or wav.shape[0] <= cfg.microbatch:
+                return jax.value_and_grad(loss_fn)(params, wav)
+            # Gradient accumulation over microbatches: same synchronous
+            # update, bounded activation memory.
+            assert wav.shape[0] % cfg.microbatch == 0
+            n = wav.shape[0] // cfg.microbatch
+            stacked = wav.reshape(n, cfg.microbatch, *wav.shape[1:])
+
+            def acc(carry, w):
+                loss_sum, grad_sum = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, w)
+                return (
+                    loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                acc, (jnp.zeros((), jnp.float32), zeros), stacked
+            )
+            return loss_sum / n, jax.tree.map(lambda g: g / n, grad_sum)
+
         def per_device_step(state: TrainState, wav):
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"], wav)
+            loss, grads = value_and_grads(state["params"], wav)
             # Synchronous DP: mean-reduce gradients over ICI
             # (replaces SyncReplicasOptimizer aggregation, train.py:103-108).
             grads = jax.lax.pmean(grads, axis)

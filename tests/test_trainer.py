@@ -116,3 +116,30 @@ def test_fit_checkpoints_on_preemption_signal(tmp_path):
     assert int(state["step"]) < 100
     restored = tr.restore()
     assert int(restored["step"]) == int(state["step"])
+
+
+def test_microbatch_accumulation_matches_single_shot():
+    """Gradient accumulation must produce the same update as one big batch
+    (same loss, same params after the step) up to f32 reduction order."""
+    import dataclasses
+
+    from audio_style_transfer_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1, axis_name="data")
+    base = TrainConfig(total_batch_size=8, sample_length=256,
+                       save_every_steps=0, remat=True)
+    wav = np.random.RandomState(3).uniform(-0.9, 0.9, (8, 256)).astype(np.float32)
+
+    results = []
+    for micro in [None, 2]:
+        tr = Trainer(dataclasses.replace(base, microbatch=micro), TINY, mesh)
+        state = tr.init_state()
+        state, loss = tr.step(state, wav)
+        results.append((float(loss), state["params"]))
+
+    assert abs(results[0][0] - results[1][0]) < 1e-5 * max(1, abs(results[0][0]))
+    flat0 = jax.tree.leaves(results[0][1])
+    flat1 = jax.tree.leaves(results[1][1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
