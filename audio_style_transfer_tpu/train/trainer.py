@@ -63,6 +63,12 @@ class TrainConfig:
     # Rematerialize residual blocks on backward (see WaveNetAEConfig.remat);
     # required to fit the reference's batch-32 step on one 16 GB chip.
     remat: bool = True
+    # Batches executed per device call (lax.scan inside one jitted program).
+    # Dispatching the ~500-leaf train state costs seconds per call through a
+    # remote-tunnel runtime (measured 3.2 s host gap vs 0.74 s device
+    # compute); scanning K steps per call amortizes it. fit() prefetches K
+    # batches and stacks them.
+    steps_per_call: int = 8
 
 
 # Train state is a plain dict pytree: {params, opt_state, ema, step}.
@@ -98,7 +104,7 @@ class Trainer:
         self.axis = mesh.axis_names[0]
         self.optimizer = _make_optimizer(self.cfg)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._step_fn = self._build_step()
+        self._step_fn, self._multi_step_fn = self._build_step()
 
     # ------------------------------------------------------------------ #
 
@@ -169,6 +175,10 @@ class Trainer:
             )
             return new_state, loss
 
+        def per_device_multi_step(state: TrainState, wavs):
+            # wavs: [K, b_local, T] — K synchronous steps in one program.
+            return jax.lax.scan(per_device_step, state, wavs)
+
         sharded = shard_map(
             per_device_step,
             mesh=self.mesh,
@@ -176,11 +186,27 @@ class Trainer:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded)
+        sharded_multi = shard_map(
+            per_device_multi_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded), jax.jit(sharded_multi)
 
     def step(self, state: TrainState, wav: np.ndarray):
         """One synchronous DP step. ``wav`` is the global batch [B, T]."""
         return self._step_fn(state, jnp.asarray(wav, jnp.float32))
+
+    def run_steps(self, state: TrainState, wavs: np.ndarray):
+        """K synchronous DP steps in ONE device call (wavs [K, B, T]).
+
+        Returns (state, losses [K]). Amortizes per-call dispatch of the
+        train-state pytree — the dominant cost of step() on remote-tunnel
+        runtimes (see TrainConfig.steps_per_call).
+        """
+        return self._multi_step_fn(state, jnp.asarray(wavs, jnp.float32))
 
     # ------------------------------------------------------------------ #
 
@@ -211,18 +237,51 @@ class Trainer:
 
         prev_term = signal.signal(signal.SIGTERM, _handler)
         prev_int = signal.signal(signal.SIGINT, _handler)
+        k = max(1, cfg.steps_per_call)
         try:
-            for i, batch in enumerate(batches):
-                if i >= num_steps:
-                    break
-                state, loss = self.step(state, batch["wav"])
+            done = False
+            it = iter(batches)
+            remaining = num_steps
+
+            def next_group(n):
+                nonlocal done
+                group = []
+                for _ in range(n):
+                    try:
+                        group.append(next(it)["wav"])
+                    except StopIteration:
+                        done = True
+                        break
+                if not group:
+                    return None
+                # Start the host->device copy now; it overlaps the step
+                # currently executing (dispatch is async).
+                return jax.device_put(
+                    jnp.asarray(np.stack(group), jnp.float32)
+                )
+
+            pending = next_group(min(k, remaining))
+            while remaining > 0 and pending is not None:
+                group = pending
+                n_in_group = group.shape[0]
+                pending = (
+                    next_group(min(k, remaining - n_in_group))
+                    if remaining - n_in_group > 0 and not done
+                    else None
+                )
+                if n_in_group > 1:
+                    state, losses = self._multi_step_fn(state, group)
+                    loss = losses[-1]
+                else:
+                    state, loss = self._step_fn(state, group[0])
+                remaining -= n_in_group
                 step = int(state["step"])
-                if step % cfg.log_every_steps == 0:
+                if step % cfg.log_every_steps < n_in_group:
                     log(
                         f"step {step} loss {float(loss):.4f} "
                         f"({step / (time.time() - t0):.2f} steps/s)"
                     )
-                if cfg.save_every_steps and step % cfg.save_every_steps == 0:
+                if cfg.save_every_steps and step % cfg.save_every_steps < n_in_group:
                     self.save(state)
                 if interrupted["flag"]:
                     log(f"preemption signal at step {step}: checkpointing")

@@ -143,3 +143,25 @@ def test_microbatch_accumulation_matches_single_shot():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_run_steps_matches_sequential_steps():
+    """K scanned steps in one program == K individual step() calls."""
+    mesh = make_mesh(1, axis_name="data")
+    tr = Trainer(TrainConfig(total_batch_size=4, sample_length=256,
+                             save_every_steps=0), TINY, mesh)
+    rng = np.random.RandomState(7)
+    wavs = rng.uniform(-0.9, 0.9, (3, 4, 256)).astype(np.float32)
+
+    s1 = tr.init_state()
+    seq_losses = []
+    for i in range(3):
+        s1, loss = tr.step(s1, wavs[i])
+        seq_losses.append(float(loss))
+
+    s2 = tr.init_state()
+    s2, losses = tr.run_steps(s2, wavs)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1["params"]), jax.tree.leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
