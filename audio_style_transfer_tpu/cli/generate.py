@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 decoder weights: ~2x faster generation")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 decoder weights (per-channel scales): halves "
+                        "the weight-streaming floor again at batch 1")
     return p
 
 
@@ -85,7 +88,8 @@ def main(argv=None):
         import jax.numpy as jnp
 
         synthesize(encodings, save_names, params=params, seed=args.seed,
-                   dtype=jnp.bfloat16 if args.bf16 else None)
+                   dtype=jnp.bfloat16 if args.bf16 else None,
+                   quantize="int8" if args.int8 else None)
         print(f"generated {len(save_names)} file(s): {save_names}")
 
 

@@ -96,18 +96,57 @@ def _push(buf, t, rate: int, value):
     )
 
 
+def quantize_params_int8(params: Params, min_size: int = 65536) -> Params:
+    """Per-output-channel symmetric int8 quantization of large weights.
+
+    Batch-1 synthesis is weight-streaming bound: every generated sample
+    re-reads the ~60M decoder parameters from HBM (BENCH_NOTES.md speed-of-
+    light accounting: 147 us/sample floor in bf16, ~91% attained). Storing
+    the large matrices as int8 + one f32 scale per output channel halves
+    that floor; the matmuls up-convert in-register (operand fusion) and
+    accumulate in f32, so only the 8-bit weight rounding (~0.4% relative)
+    touches the logits.
+
+    Tensors smaller than ``min_size`` elements (biases, cond maps, the
+    1-channel startconv) stay in f32 — they are bandwidth-irrelevant.
+    """
+
+    def q(entry):
+        w = entry["w"]
+        if w.size < min_size:
+            return entry
+        scale = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"w_q": w_q, "w_scale": scale.astype(jnp.float32),
+                "b": entry["b"]}
+
+    return {name: q(entry) for name, entry in params.items()}
+
+
+def _mm(x, entry, k: int = 0):
+    """x @ w[k] for a plain or int8-quantized weight entry (no bias)."""
+    if "w_q" in entry:
+        w = entry["w_q"][k]
+        y = jnp.dot(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return y * entry["w_scale"]
+    return x @ entry["w"][k]
+
+
 def _linear(params, name, x):
     """1x1 'linear' op on [B, C] (reference utils.py:890-908)."""
-    return x @ params[name]["w"][0] + params[name]["b"]
+    return _mm(x, params[name]) + params[name]["b"]
 
 
 def _causal_step(params, name, buf, t, rate, x):
     """One step of a filter-3 dilated causal conv from cached taps
     (reference utils.py:838-887: w[0]@x[t-2r] + w[1]@x[t-r] + w[2]@x[t])."""
-    w = params[name]["w"]  # [3, Cin, Cout]
-    b = params[name]["b"]
+    entry = params[name]
     x_2r, x_r = _taps(buf, t, rate)
-    y = x_2r @ w[0] + x_r @ w[1] + x @ w[2] + b
+    y = _mm(x_2r, entry, 0) + _mm(x_r, entry, 1) + _mm(x, entry, 2) + entry["b"]
     new_buf = _push(buf, t, rate, x)
     return y, new_buf
 
@@ -210,15 +249,23 @@ def synthesize(
     seed: int = 0,
     sr: int = 16000,
     dtype=None,
+    quantize: str | None = None,
 ) -> np.ndarray:
     """Host wrapper mirroring reference fastgen.synthesize:160-212.
 
     ``dtype=jnp.bfloat16`` casts the decoder weights for ~2x faster
     generation (logit precision drops accordingly; sampling stays f32).
+    ``quantize="int8"`` stores the large decoder matrices as int8 with
+    per-channel scales instead — batch-1 generation is weight-streaming
+    bound, so this halves the HBM floor again (see quantize_params_int8).
     """
     assert params is not None, "synthesize requires a params pytree"
     cfg = cfg or WaveNetAEConfig()
-    if dtype is not None:
+    if quantize == "int8":
+        params = quantize_params_int8(params)
+    elif quantize is not None:
+        raise ValueError(f"unsupported quantize={quantize!r} (use 'int8')")
+    elif dtype is not None:
         params = jax.tree.map(lambda v: v.astype(dtype), params)
     fn = jax.jit(synthesize_jit, static_argnums=3)
     audio = np.asarray(fn(params, jnp.asarray(encodings), jax.random.PRNGKey(seed), cfg))

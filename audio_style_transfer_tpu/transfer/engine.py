@@ -53,6 +53,10 @@ class TransferSpec:
     early_stop_evals: int = 50  # epoch eval count below which the run stops
     compute_dtype: str = "float32"  # or "bfloat16" for MXU peak throughput
     fused_encoder: bool = False  # Pallas fused residual blocks (TPU only)
+    # Pallas all-pairs gram kernel (TPU only). None = follow fused_encoder.
+    # Kept separate because the batched path (optimize_batch) runs XLA convs
+    # but still wants the single-HBM-read gram.
+    fused_gram: bool | None = None
     write_artifacts: bool = True
 
     @property
@@ -83,16 +87,26 @@ class StyleTransfer:
         self.params = jax.tree.map(
             lambda v: v.astype(dtype) if hasattr(v, "astype") else v, params
         )
+        style_ids = tuple(
+            select_style_layers(cfg.ae_num_layers, spec.stack, spec.style_lyr_ids)
+        )
+        if spec.fused_gram is None:
+            # The all-pairs kernel pays off once the L^2 pair traffic
+            # dominates: at L=10 (stack mode) the XLA pairwise path measures
+            # ~equal (2.10 vs 2.14 ms/eval), at L=30 the kernel wins 1.55x
+            # (5.16 -> 3.33 ms/eval, v5e round-2 profile).
+            fused_gram = spec.fused_encoder and len(style_ids) >= 16
+        else:
+            fused_gram = spec.fused_gram
         self.loss_spec = LossSpec(
             cont_lyr_ids=tuple(spec.cont_lyr_ids),
-            style_layer_ids=tuple(
-                select_style_layers(cfg.ae_num_layers, spec.stack, spec.style_lyr_ids)
-            ),
+            style_layer_ids=style_ids,
             cnt_channels=spec.cnt_channels,
             nb_channels=spec.nb_channels,
             gatys=spec.gatys,
             lambd=spec.lambd,
             gamma=spec.gamma,
+            fused_gram=fused_gram,
         )
 
         self._embeds_fn = jax.jit(
@@ -107,10 +121,16 @@ class StyleTransfer:
         # composition at B=8 (layout-hostile cotangents into the manual
         # DMAs; see BENCH_NOTES.md), so the batched path defaults to XLA
         # convs — at 8 clips in flight the MXU is well utilized either way.
+        # The Pallas *gram* kernel stays on (regular BlockSpec pipeline, no
+        # manual DMAs — it batches cleanly).
         batch_self = self
         if spec.fused_encoder:
             batch_self = StyleTransfer(
-                dataclasses.replace(spec, fused_encoder=False), params, model_cfg
+                dataclasses.replace(
+                    spec, fused_encoder=False, fused_gram=fused_gram
+                ),
+                params,
+                model_cfg,
             )
         self._epochs_batch_fn = jax.jit(
             jax.vmap(

@@ -55,12 +55,19 @@ def style_gram(
     *,
     gatys: bool = False,
     nb_channels: int = 128,
+    fused: bool = False,
 ):
     """Normalized Gram tensor over the selected taps (methods.py:62-76).
 
     Returns [C, L, L] for "ours" (channel-wise) or [L, C, C] for Gatys.
     Assumes batch size 1 (taps are [1, T, C]), exactly like the reference's
     axis-0 concat.
+
+    With ``fused=True`` the channel-wise flavour runs the Pallas all-pairs
+    kernel (ops/pallas_gram.py): every tap is read from HBM once per
+    evaluation instead of once per pair — the L^2 pair traffic dominates
+    the full-stack transfer eval otherwise (TPU only; same f32-product
+    semantics).
     """
     if gatys:
         stl = jnp.concatenate([extracts[i] for i in layer_ids], axis=0)
@@ -71,27 +78,36 @@ def style_gram(
         ).astype(stl.dtype)
         return l2_normalize(gram, axes=(1, 2))
 
-    # "ours" channel-wise gram, computed pairwise: G[c,i,j] = sum_t
-    # E_i[t,c]·E_j[t,c] as elementwise products + column sums instead of a
-    # batched matmul on a [C, L, T] transpose. The taps then stay in their
-    # native [T, C] layout end to end — on TPU the transpose form forced XLA
-    # to materialize ~40 MB layout copies around the Pallas encoder's
-    # custom-calls, ~0.75 ms/eval of the transfer hot path (round-2
-    # profile). bf16 taps are multiplied in f32 (exact: 8-bit mantissa
-    # products fit f32), matching the MXU's accumulation semantics.
-    taps = [extracts[i][0] for i in layer_ids]  # each [T, C]
-    n = len(taps)
-    pair = {}
-    for i in range(n):
-        for j in range(i, n):
-            p = taps[i].astype(jnp.float32) * taps[j].astype(jnp.float32)
-            pair[(i, j)] = jnp.sum(p, axis=0)  # [C]
-    rows = [
-        jnp.stack([pair[(min(i, j), max(i, j))] for j in range(n)], axis=0)
-        for i in range(n)
-    ]
-    gram = jnp.transpose(jnp.stack(rows, axis=0), (2, 0, 1))  # [C, L, L] f32
-    gram = l2_normalize(gram.astype(taps[0].dtype), axes=(1, 2))
+    if fused and extracts[layer_ids[0]].shape[1] % 128 == 0:
+        from audio_style_transfer_tpu.ops.pallas_gram import pair_gram
+
+        g = pair_gram(*[extracts[i] for i in layer_ids])  # [1, L, L, C] f32
+        gram = jnp.transpose(g[0], (2, 0, 1))  # [C, L, L] f32
+        dtype = extracts[layer_ids[0]].dtype
+    else:
+        # "ours" channel-wise gram, computed pairwise: G[c,i,j] = sum_t
+        # E_i[t,c]·E_j[t,c] as elementwise products + column sums instead of
+        # a batched matmul on a [C, L, T] transpose. The taps then stay in
+        # their native [T, C] layout end to end — on TPU the transpose form
+        # forced XLA to materialize ~40 MB layout copies around the Pallas
+        # encoder's custom-calls, ~0.75 ms/eval of the transfer hot path
+        # (round-2 profile). bf16 taps are multiplied in f32 (exact: 8-bit
+        # mantissa products fit f32), matching the MXU's accumulation
+        # semantics.
+        taps = [extracts[i][0] for i in layer_ids]  # each [T, C]
+        n = len(taps)
+        pair = {}
+        for i in range(n):
+            for j in range(i, n):
+                p = taps[i].astype(jnp.float32) * taps[j].astype(jnp.float32)
+                pair[(i, j)] = jnp.sum(p, axis=0)  # [C]
+        rows = [
+            jnp.stack([pair[(min(i, j), max(i, j))] for j in range(n)], axis=0)
+            for i in range(n)
+        ]
+        gram = jnp.transpose(jnp.stack(rows, axis=0), (2, 0, 1))  # [C, L, L]
+        dtype = taps[0].dtype
+    gram = l2_normalize(gram.astype(dtype), axes=(1, 2))
     if nb_channels < gram.shape[0]:
         gram = gram[:nb_channels]
     return gram

@@ -39,6 +39,11 @@ class LossSpec:
     gatys: bool = False
     lambd: float = 100.0
     gamma: float = 0.0
+    # Run the channel-wise gram through the Pallas all-pairs kernel
+    # (ops/pallas_gram.py). Independent of the fused *encoder* flag: the
+    # batched transfer path keeps XLA convs but still benefits from the
+    # single-read gram (see engine.py).
+    fused_gram: bool = False
 
 
 def transfer_embeds(params, x_quantized, cfg: WaveNetAEConfig, spec: LossSpec):
@@ -52,6 +57,7 @@ def transfer_embeds(params, x_quantized, cfg: WaveNetAEConfig, spec: LossSpec):
         spec.style_layer_ids,
         gatys=spec.gatys,
         nb_channels=spec.nb_channels,
+        fused=spec.fused_gram,
     )
     return c.astype(jnp.float32), s.astype(jnp.float32)
 

@@ -91,3 +91,59 @@ def test_save_batch(tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_int8_quantization_error_bound():
+    """Per-channel symmetric quantization: |w - dequant(w)| <= scale/2."""
+    from audio_style_transfer_tpu.generate.fastgen import quantize_params_int8
+
+    params = init_params(jax.random.PRNGKey(5), TINY)
+    q = quantize_params_int8(params, min_size=1)
+    n_quantized = 0
+    for name, entry in q.items():
+        if "w_q" not in entry:
+            continue
+        n_quantized += 1
+        assert entry["w_q"].dtype == jnp.int8
+        deq = entry["w_q"].astype(np.float32) * np.asarray(entry["w_scale"])
+        err = np.abs(np.asarray(params[name]["w"]) - deq)
+        bound = np.asarray(entry["w_scale"]) * 0.5 + 1e-9
+        assert np.all(err <= bound), name
+    assert n_quantized > 0
+
+
+def test_int8_decoder_logits_close_to_f32():
+    """int8 weights perturb the incremental decoder's logits only by the
+    8-bit rounding — distributions must stay close to the f32 decoder's."""
+    from audio_style_transfer_tpu.generate.fastgen import quantize_params_int8
+
+    params = init_params(jax.random.PRNGKey(6), TINY)
+    rng = np.random.RandomState(6)
+    xq = jnp.asarray(mu_law_numpy(rng.uniform(-0.9, 0.9, (1, 64))), jnp.float32)
+    _, encoding = encoder_extracts(params, xq, TINY)
+
+    ref = np.asarray(incremental_logits(params, xq, encoding, TINY))
+    got = np.asarray(
+        incremental_logits(quantize_params_int8(params, min_size=1), xq,
+                           encoding, TINY)
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.02 * scale + 2e-2
+
+
+def test_int8_synthesize_produces_audio():
+    from audio_style_transfer_tpu.generate.fastgen import quantize_params_int8
+
+    params = quantize_params_int8(init_params(jax.random.PRNGKey(7), TINY),
+                                  min_size=1)
+    encodings = jnp.asarray(
+        np.random.RandomState(7).randn(1, 2, 4).astype(np.float32) * 0.1
+    )
+    audio = np.asarray(
+        jax.jit(synthesize_jit, static_argnums=3)(
+            params, encodings, jax.random.PRNGKey(0), TINY
+        )
+    )
+    assert audio.shape == (1, 2 * TINY.ae_hop_length)
+    assert np.all(np.isfinite(audio))
+    assert np.abs(audio).max() > 0
