@@ -42,16 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_tile(t: int, nl: int, c: int, itemsize: int, n_streams: int) -> int:
+def _pick_tile(
+    t: int, nl: int, c: int, itemsize: int, n_streams: int, batched: bool
+) -> int:
     """Largest power-of-two tile dividing t whose pipeline footprint fits.
 
     ``n_streams`` counts the [tile, C] arrays in flight per tap (inputs
-    plus outputs for the backward kernel), each double-buffered.
+    plus outputs for the backward kernel), each double-buffered. With a
+    batch grid dimension Mosaic keeps extra buffers in flight around the
+    revisited output block (measured: B=8/L=10/tile=1024 blew the 16 MB
+    scoped limit at a nominal 5.2 MB footprint), so the batched launch
+    budgets half.
     """
+    budget = _VMEM_BUDGET // 2 if batched else _VMEM_BUDGET
     tile = min(t, 4096)
     while t % tile:
         tile //= 2
-    while tile > 8 and nl * tile * c * itemsize * 2 * n_streams > _VMEM_BUDGET:
+    while tile > 8 and nl * tile * c * itemsize * 2 * n_streams > budget:
         tile //= 2
     return max(tile, 8)
 
@@ -80,7 +87,8 @@ def _fwd_kernel(nl: int, *refs):
 def _fwd(taps):
     nl = len(taps)
     b, t, c = taps[0].shape
-    tile = _pick_tile(t, nl, c, taps[0].dtype.itemsize, n_streams=1)
+    tile = _pick_tile(t, nl, c, taps[0].dtype.itemsize, n_streams=1,
+                      batched=b > 1)
     grid = (b, t // tile)
     tap_spec = pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0))
     return pl.pallas_call(
@@ -108,7 +116,7 @@ def _bwd(taps, h):
     nl = len(taps)
     b, t, c = taps[0].shape
     dtype = taps[0].dtype
-    tile = _pick_tile(t, nl, c, dtype.itemsize, n_streams=2)
+    tile = _pick_tile(t, nl, c, dtype.itemsize, n_streams=2, batched=b > 1)
     grid = (b, t // tile)
     tap_spec = pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0))
     return pl.pallas_call(
