@@ -122,12 +122,15 @@ class StyleTransfer:
         # DMAs; see BENCH_NOTES.md), so the batched path defaults to XLA
         # convs — at 8 clips in flight the MXU is well utilized either way.
         # The Pallas *gram* kernel stays on (regular BlockSpec pipeline, no
-        # manual DMAs — it batches cleanly).
+        # manual DMAs — it batches cleanly) and is worth it at ANY layer
+        # count there: the vmapped XLA pairwise gram stops fusing
+        # (broadcast+reduce blowup), measured 304 vs ~240 aggregate evals/s
+        # at B=8, L=10 on v5e.
         batch_self = self
         if spec.fused_encoder:
             batch_self = StyleTransfer(
                 dataclasses.replace(
-                    spec, fused_encoder=False, fused_gram=fused_gram
+                    spec, fused_encoder=False, fused_gram=True
                 ),
                 params,
                 model_cfg,
@@ -192,7 +195,20 @@ class StyleTransfer:
         per-epoch ``optim.minimize`` restarts of the reference.
         """
         spec = self.spec
-        opts = LBFGSOptions(maxiter=spec.maxiter)
+        # The per-epoch hot path runs the "zoom" line search without
+        # ls-failure restarts: each epoch hands off to the next epoch's
+        # fresh history anyway, and an epoch that ends on a failed search
+        # just ends a little early. Measured on the north-star config the
+        # Moré-Thuente search (SciPy's own dcsrch; the LBFGSOptions
+        # default) reaches the same final loss (72.849 vs 72.854, both
+        # +0.34% of f32) but spends ~22 evals/epoch vs zoom's ~18 — its
+        # looser c2=0.9 accepts cheaper steps but runs more iterations
+        # before an epoch terminates: 4.0 s vs 3.4 s per 100 epochs.
+        # Both configurations hold the two-sided 1% SciPy parity bound
+        # (tests/test_lbfgs_scipy_parity.py runs each).
+        opts = LBFGSOptions(
+            maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
+        )
 
         def loss_fn(x):
             return transfer_loss(params, x, phi_c, phi_s, self.cfg, self.loss_spec)

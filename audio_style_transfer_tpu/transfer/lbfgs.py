@@ -33,14 +33,39 @@ class LBFGSOptions:
     ftol: float = 2.220446049250313e-09
     gtol: float = 1e-05
     maxls: int = 20
-    c1: float = 1e-4
-    # SciPy's dcsrch runs with gtol=0.9 but its step-selection heuristics pick
-    # near-optimal steps anyway; our plainer zoom line search needs a tighter
-    # curvature constant to match SciPy's convergence rate. Empirically
-    # c2=0.5 reproduces SciPy L-BFGS-B iteration counts and final losses on
-    # the transfer objective (see tests/test_lbfgs_scipy_parity.py), where
-    # c2=0.9 stalls on the style-gram plateau.
-    c2: float = 0.5
+    # Number of consecutive zero-progress (f32-tie) iterations required
+    # before declaring ftol convergence. 1 reproduces SciPy's literal
+    # test; raise it for extra plateau robustness with f32 losses, where
+    # at ftol=2.2e-9 the test can only fire on an *exact* f32 tie. (The
+    # ftol test only counts iterations whose line search succeeded; a
+    # failed search triggers an L-BFGS-B-style memory restart instead of
+    # masquerading as convergence.)
+    ftol_patience: int = 1
+    # On a failed line search with non-empty history, discard the memory
+    # and retry from the same point with steepest descent (lbfgsb.f mainlb
+    # semantics) instead of terminating. Needed for single-shot maxiter=100
+    # SciPy parity on f32 plateaus; the per-epoch transfer engine turns it
+    # off (an aborted epoch just hands off to the next epoch's fresh
+    # history — same final loss, ~15% fewer evaluations).
+    restart_on_ls_fail: bool = True
+    # Line search: "mt" is a port of MINPACK's dcsrch/dcstep — the exact
+    # Moré-Thuente search SciPy's L-BFGS-B runs (validated step-for-step and
+    # eval-for-eval against scipy's wrapped Fortran on scalar objectives) —
+    # with L-BFGS-B's own constants (lnsrlb: ftol=1e-3, gtol=0.9, xtol=0.1).
+    # "zoom" is a plainer strong-Wolfe bracketing zoom; it needs a tighter
+    # curvature constant (c2=0.5) to match SciPy's convergence rate on the
+    # transfer objective and costs ~40% more evaluations.
+    line_search: str = "mt"
+    # None = per-line-search default: mt -> (1e-3, 0.9), zoom -> (1e-4, 0.5).
+    c1: float | None = None
+    c2: float | None = None
+    # dcsrch interval tolerance (mt only).
+    xtol: float = 0.1
+
+    def resolved_c1c2(self) -> tuple[float, float]:
+        if self.line_search == "mt":
+            return (self.c1 or 1e-3, self.c2 or 0.9)
+        return (self.c1 or 1e-4, self.c2 or 0.5)
 
 
 class LBFGSResult(NamedTuple):
@@ -102,7 +127,7 @@ def _wolfe_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOpti
 
     Returns (a, f, g, n_evals, ok).
     """
-    c1, c2 = opts.c1, opts.c2
+    c1, c2 = opts.resolved_c1c2()
     zero = jnp.asarray(0.0, f0.dtype)
 
     def eval_at(a):
@@ -229,6 +254,223 @@ def _wolfe_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOpti
     return a, f, g, st["n_evals"], ok
 
 
+def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stpmin, stpmax):
+    """MINPACK dcstep: one safeguarded trial-step update (dcstep.f).
+
+    (stx, fx, dx) is the best step so far, (sty, fy, dy) the other endpoint,
+    (stp, fp, dp) the step just evaluated. Returns the updated
+    (stx, fx, dx, sty, fy, dy, stp, brackt). Branch-free: all four Fortran
+    cases are computed and selected with where (guarded against the inactive
+    cases' div-by-zero via small-denominator clamps).
+    """
+
+    def _safe(q):
+        tiny = jnp.asarray(1e-30, q.dtype)
+        return jnp.where(jnp.abs(q) < tiny, jnp.where(q < 0, -tiny, tiny), q)
+
+    sgnd = dp * jnp.sign(dx)
+
+    # case 1: fp > fx — a higher value; the minimum is bracketed.
+    theta1 = 3.0 * (fx - fp) / _safe(stp - stx) + dx + dp
+    s1 = jnp.maximum(jnp.maximum(jnp.abs(theta1), jnp.abs(dx)), jnp.abs(dp))
+    s1 = _safe(s1)
+    g1 = s1 * jnp.sqrt(jnp.maximum((theta1 / s1) ** 2 - (dx / s1) * (dp / s1), 0.0))
+    g1 = jnp.where(stp < stx, -g1, g1)
+    r1 = ((g1 - dx) + theta1) / _safe(((g1 - dx) + g1) + dp)
+    stpc1 = stx + r1 * (stp - stx)
+    stpq1 = stx + ((dx / _safe((fx - fp) / _safe(stp - stx) + dx)) / 2.0) * (stp - stx)
+    stpf1 = jnp.where(
+        jnp.abs(stpc1 - stx) < jnp.abs(stpq1 - stx),
+        stpc1,
+        stpc1 + (stpq1 - stpc1) / 2.0,
+    )
+
+    # case 2: fp <= fx, derivatives of opposite sign — bracketed.
+    theta2 = 3.0 * (fx - fp) / _safe(stp - stx) + dx + dp
+    s2 = _safe(jnp.maximum(jnp.maximum(jnp.abs(theta2), jnp.abs(dx)), jnp.abs(dp)))
+    g2 = s2 * jnp.sqrt(jnp.maximum((theta2 / s2) ** 2 - (dx / s2) * (dp / s2), 0.0))
+    g2 = jnp.where(stp > stx, -g2, g2)
+    r2 = ((g2 - dp) + theta2) / _safe(((g2 - dp) + g2) + dx)
+    stpc2 = stp + r2 * (stx - stp)
+    stpq2 = stp + (dp / _safe(dp - dx)) * (stx - stp)
+    stpf2 = jnp.where(jnp.abs(stpc2 - stp) > jnp.abs(stpq2 - stp), stpc2, stpq2)
+
+    # case 3: fp <= fx, same sign, |dp| decreasing.
+    theta3 = 3.0 * (fx - fp) / _safe(stp - stx) + dx + dp
+    s3 = _safe(jnp.maximum(jnp.maximum(jnp.abs(theta3), jnp.abs(dx)), jnp.abs(dp)))
+    g3 = s3 * jnp.sqrt(jnp.maximum((theta3 / s3) ** 2 - (dx / s3) * (dp / s3), 0.0))
+    g3 = jnp.where(stp > stx, -g3, g3)
+    r3 = ((g3 - dp) + theta3) / _safe((g3 + (dx - dp)) + g3)
+    stpc3 = jnp.where(
+        (r3 < 0.0) & (g3 != 0.0),
+        stp + r3 * (stx - stp),
+        jnp.where(stp > stx, stpmax, stpmin),
+    )
+    stpq3 = stp + (dp / _safe(dp - dx)) * (stx - stp)
+    stpf3_brackt = jnp.where(jnp.abs(stpc3 - stp) < jnp.abs(stpq3 - stp), stpc3, stpq3)
+    stpf3_brackt = jnp.where(
+        stp > stx,
+        jnp.minimum(stp + 0.66 * (sty - stp), stpf3_brackt),
+        jnp.maximum(stp + 0.66 * (sty - stp), stpf3_brackt),
+    )
+    stpf3_open = jnp.where(jnp.abs(stpc3 - stp) > jnp.abs(stpq3 - stp), stpc3, stpq3)
+    stpf3_open = jnp.clip(stpf3_open, stpmin, stpmax)
+    stpf3 = jnp.where(brackt, stpf3_brackt, stpf3_open)
+
+    # case 4: fp <= fx, same sign, |dp| not decreasing.
+    theta4 = 3.0 * (fp - fy) / _safe(sty - stp) + dy + dp
+    s4 = _safe(jnp.maximum(jnp.maximum(jnp.abs(theta4), jnp.abs(dy)), jnp.abs(dp)))
+    g4 = s4 * jnp.sqrt(jnp.maximum((theta4 / s4) ** 2 - (dy / s4) * (dp / s4), 0.0))
+    g4 = jnp.where(stp > sty, -g4, g4)
+    r4 = ((g4 - dp) + theta4) / _safe(((g4 - dp) + g4) + dy)
+    stpc4 = stp + r4 * (sty - stp)
+    stpf4 = jnp.where(brackt, stpc4, jnp.where(stp > stx, stpmax, stpmin))
+
+    case1 = fp > fx
+    case2 = (~case1) & (sgnd < 0.0)
+    case3 = (~case1) & (~case2) & (jnp.abs(dp) < jnp.abs(dx))
+    stpf = jnp.where(case1, stpf1, jnp.where(case2, stpf2, jnp.where(case3, stpf3, stpf4)))
+
+    sty_n = jnp.where(case1, stp, jnp.where(sgnd < 0.0, stx, sty))
+    fy_n = jnp.where(case1, fp, jnp.where(sgnd < 0.0, fx, fy))
+    dy_n = jnp.where(case1, dp, jnp.where(sgnd < 0.0, dx, dy))
+    stx_n = jnp.where(case1, stx, stp)
+    fx_n = jnp.where(case1, fx, fp)
+    dx_n = jnp.where(case1, dx, dp)
+    brackt_n = brackt | case1 | case2
+
+    stp_n = jnp.clip(stpf, stpmin, stpmax)
+    return stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stp_n, brackt_n
+
+
+def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions):
+    """Moré-Thuente line search — a port of MINPACK's dcsrch driver
+    (the line search inside SciPy's L-BFGS-B, lbfgsb.f lnsrlb) as one
+    ``lax.while_loop`` with exactly one objective evaluation per iteration.
+
+    Stage 1 works on the *modified* function psi(a) = f(a) - f0 - c1·a·dphi0
+    until a step with psi <= 0 and dphi >= 0 is found; this is what lets the
+    loose curvature constant (c2=0.9) converge in 1-2 evaluations on
+    well-scaled problems without stalling on plateaus (the failure mode of a
+    plain zoom at c2=0.9 — see tests/test_lbfgs_scipy_parity.py history).
+
+    Validated against scipy's wrapped Fortran dcsrch step-for-step and
+    eval-for-eval on scalar objectives. Returns (a, f, g, n_evals, ok).
+    """
+    dtype = f0.dtype
+    c1, c2 = opts.resolved_c1c2()
+    stpmin = jnp.asarray(1e-20, dtype)
+    stpmax = jnp.asarray(1e20, dtype)
+    xtrapl = jnp.asarray(1.1, dtype)
+    xtrapu = jnp.asarray(4.0, dtype)
+    finit, ginit = f0, dphi0
+    gtest = c1 * ginit
+    zero = jnp.asarray(0.0, dtype)
+
+    a0 = jnp.clip(jnp.asarray(a_init, dtype), stpmin, stpmax)
+    init = dict(
+        stp=a0,
+        brackt=jnp.array(False),
+        stage1=jnp.array(True),
+        stx=zero, fx=finit, dx=ginit,
+        sty=zero, fy=finit, dy=ginit,
+        stmin=zero,
+        stmax=a0 + xtrapu * a0,
+        width=stpmax - stpmin,
+        width1=(stpmax - stpmin) / 0.5,
+        n_evals=jnp.array(0, jnp.int32),
+        done=jnp.array(False),
+        ok=jnp.array(False),
+        f=f0, dphi=dphi0, g=g0,
+    )
+
+    def cond(st):
+        return (~st["done"]) & (st["n_evals"] < opts.maxls)
+
+    def body(st):
+        f, dphi, g = value_and_grad_1d(st["stp"])
+        n_evals = st["n_evals"] + 1
+        stp = st["stp"]
+        ftest = finit + stp * gtest
+
+        # dcsrch.f: stage 1 ends once f <= ftest and dphi >= min(c1,c2)*dphi0
+        # (a slightly negative threshold, NOT zero).
+        stage1 = st["stage1"] & ~(
+            (f <= ftest) & (dphi >= jnp.minimum(c1, c2) * ginit)
+        )
+        converged = (f <= ftest) & (jnp.abs(dphi) <= c2 * (-ginit))
+        # dcsrch warning exits: degenerate interval / rounding floor — stop
+        # at the current evaluation (the caller salvages if it improves f0).
+        warn = (
+            (st["brackt"] & ((stp <= st["stmin"]) | (stp >= st["stmax"])))
+            | (st["brackt"] & (st["stmax"] - st["stmin"] <= opts.xtol * st["stmax"]))
+            | ((stp == stpmax) & (f <= ftest) & (dphi <= gtest))
+            | ((stp == stpmin) & ((f > ftest) | (dphi >= gtest)))
+        )
+
+        # Stage-1 steps that beat fx but fail sufficient decrease update the
+        # interval on the modified function (dcsrch.f lines ~230-250).
+        use_mod = stage1 & (f <= st["fx"]) & (f > ftest)
+        fm = jnp.where(use_mod, f - stp * gtest, f)
+        fxm = jnp.where(use_mod, st["fx"] - st["stx"] * gtest, st["fx"])
+        fym = jnp.where(use_mod, st["fy"] - st["sty"] * gtest, st["fy"])
+        gm = jnp.where(use_mod, dphi - gtest, dphi)
+        gxm = jnp.where(use_mod, st["dx"] - gtest, st["dx"])
+        gym = jnp.where(use_mod, st["dy"] - gtest, st["dy"])
+
+        stx, fx2, dx2, sty, fy2, dy2, stp_new, brackt = _dcstep(
+            st["stx"], fxm, gxm, st["sty"], fym, gym,
+            stp, fm, gm, st["brackt"], st["stmin"], st["stmax"],
+        )
+
+        fx3 = jnp.where(use_mod, fx2 + stx * gtest, fx2)
+        fy3 = jnp.where(use_mod, fy2 + sty * gtest, fy2)
+        dx3 = jnp.where(use_mod, dx2 + gtest, dx2)
+        dy3 = jnp.where(use_mod, dy2 + gtest, dy2)
+
+        # Force bisection when the bracket shrinks too slowly.
+        wid = jnp.abs(sty - stx)
+        force_bisect = brackt & (wid >= 0.66 * st["width1"])
+        stp_new = jnp.where(force_bisect, stx + 0.5 * (sty - stx), stp_new)
+        width1 = jnp.where(brackt, st["width"], st["width1"])
+        width = jnp.where(brackt, wid, st["width"])
+
+        stmin = jnp.where(brackt, jnp.minimum(stx, sty),
+                          stp_new + xtrapl * (stp_new - stx))
+        stmax_n = jnp.where(brackt, jnp.maximum(stx, sty),
+                            stp_new + xtrapu * (stp_new - stx))
+        stp_new = jnp.clip(stp_new, stpmin, stpmax)
+        # No further progress possible: park at the best point.
+        give_up = (brackt & ((stp_new <= stmin) | (stp_new >= stmax_n))) | (
+            brackt & (stmax_n - stmin <= opts.xtol * stmax_n)
+        )
+        stp_new = jnp.where(give_up, stx, stp_new)
+
+        done = converged | warn
+        return dict(
+            stp=jnp.where(done, stp, stp_new),
+            brackt=brackt,
+            stage1=stage1,
+            stx=stx, fx=fx3, dx=dx3,
+            sty=sty, fy=fy3, dy=dy3,
+            stmin=stmin, stmax=stmax_n,
+            width=width, width1=width1,
+            n_evals=n_evals,
+            done=done,
+            ok=st["ok"] | converged,
+            f=f, dphi=dphi, g=g,
+        )
+
+    st = jax.lax.while_loop(cond, body, init)
+    # Non-Wolfe exits still move if the last evaluated point improves f0
+    # (monotone safeguard; f/g/stp are always from the same evaluation).
+    accept = st["ok"] | (st["f"] < f0)
+    a = jnp.where(accept, st["stp"], 0.0)
+    f = jnp.where(accept, st["f"], f0)
+    g = jnp.where(accept, st["g"], g0)
+    return a, f, g, st["n_evals"], accept
+
+
 def lbfgs_minimize(
     value_and_grad: Callable,
     x0: jax.Array,
@@ -270,6 +512,7 @@ def lbfgs_minimize(
         n_evals=jnp.array(1, jnp.int32),
         status=jnp.array(2, jnp.int32),  # default: maxiter
         done=jnp.array(False),
+        ftol_strikes=jnp.array(0, jnp.int32),
     )
 
     def cond(st):
@@ -286,12 +529,14 @@ def lbfgs_minimize(
         d = jnp.where(bad_dir, -st["g"], d)
         dphi0 = jnp.where(bad_dir, -jnp.vdot(st["g"], st["g"]), dphi0)
 
-        # First-iteration step length mirrors SciPy: 1/||g||_inf-ish scaling.
-        a_init = jnp.where(
-            st["k"] == 0,
-            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(st["g"]))),
-            1.0,
-        ).astype(dtype)
+        # First-iteration step length mirrors L-BFGS-B (lnsrlb.f): 1/||d||_2
+        # for the Moré-Thuente search; the zoom path keeps its historical
+        # 1/||g||_1 scaling (its parity constants were tuned around it).
+        if opts.line_search == "mt":
+            first_a = 1.0 / jnp.sqrt(jnp.vdot(d, d))
+        else:
+            first_a = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(st["g"])))
+        a_init = jnp.where(st["k"] == 0, first_a, 1.0).astype(dtype)
 
         x, f, g = st["x"], st["f"], st["g"]
 
@@ -299,15 +544,14 @@ def lbfgs_minimize(
             fa, ga = vg(x + a * d)
             return fa, jnp.vdot(ga, d), ga
 
-        a, f_new, g_new, ls_evals, ok = _wolfe_line_search(
-            vg_1d, f, g, dphi0, a_init, opts
-        )
+        search = _mt_line_search if opts.line_search == "mt" else _wolfe_line_search
+        a, f_new, g_new, ls_evals, ok = search(vg_1d, f, g, dphi0, a_init, opts)
         x_new = x + a * d
 
         s = x_new - x
         y = g_new - g
         sy = jnp.vdot(s, y)
-        curv_ok = sy > 1e-10 * jnp.vdot(y, y)
+        curv_ok = ok & (sy > 1e-10 * jnp.vdot(y, y))
         idx = st["head"] % m
         s_hist = jnp.where(curv_ok, st["s_hist"].at[idx].set(s), st["s_hist"])
         y_hist = jnp.where(curv_ok, st["y_hist"].at[idx].set(y), st["y_hist"])
@@ -316,12 +560,24 @@ def lbfgs_minimize(
         count = jnp.where(curv_ok, jnp.minimum(st["count"] + 1, m), st["count"])
         gamma = jnp.where(curv_ok, sy / jnp.vdot(y, y), st["gamma"])
 
-        # Convergence tests (SciPy semantics).
+        # L-BFGS-B (mainlb.f) on a failed line search: discard the history
+        # and restart the iteration from the same point with steepest
+        # descent; abort only when the line search fails WITH an empty
+        # history (i.e. on the steepest-descent direction itself).
+        restart = (~ok) & (st["count"] > 0) & opts.restart_on_ls_fail
+        rho = jnp.where(restart, jnp.zeros_like(rho), rho)
+        count = jnp.where(restart, 0, count)
+        gamma = jnp.where(restart, jnp.ones_like(st["gamma"]), gamma)
+
+        # Convergence tests (SciPy semantics; ftol needs `ftol_patience`
+        # consecutive hits — see LBFGSOptions for the f32 rationale).
         gtol_hit = jnp.max(jnp.abs(g_new)) <= opts.gtol
-        ftol_hit = (f - f_new) <= opts.ftol * jnp.maximum(
+        ftol_tick = (f - f_new) <= opts.ftol * jnp.maximum(
             jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0
         )
-        ls_failed = ~ok
+        ftol_strikes = jnp.where(ftol_tick & ok, st["ftol_strikes"] + 1, 0)
+        ftol_hit = ftol_strikes >= opts.ftol_patience
+        ls_failed = (~ok) & ~restart
 
         status = jnp.where(
             gtol_hit, 0, jnp.where(ftol_hit, 1, jnp.where(ls_failed, 3, st["status"]))
@@ -337,6 +593,7 @@ def lbfgs_minimize(
             n_evals=st["n_evals"] + ls_evals,
             status=status,
             done=gtol_hit | ftol_hit | ls_failed,
+            ftol_strikes=ftol_strikes,
         )
 
     st = jax.lax.while_loop(cond, body, state)

@@ -101,7 +101,13 @@ def transfer_longform(
     parts = []
     for s in range(0, k, group):
         pc, ph = phi_cs[s : s + group], phis[s : s + group]
-        pad = (-len(pc)) % n_dev  # mesh requires a multiple of n_dev lanes
+        # Pad a trailing partial group to the FULL group size when earlier
+        # groups exist: vmapped lanes run in lockstep, so the padded lanes
+        # are free, and reusing the first group's program shape avoids a
+        # second XLA/Mosaic compile. A lone short group only pads to the
+        # mesh multiple (a smaller program is cheaper than a padded one).
+        pad_to = group if k > group else -(-len(pc) // n_dev) * n_dev
+        pad = pad_to - len(pc)
         if pad:
             pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
             ph = np.concatenate([ph, np.repeat(ph[-1:], pad, axis=0)])

@@ -40,7 +40,8 @@ def _tone(seed: int, t: int) -> np.ndarray:
 
 
 def run_parity(t: int = 16384, maxiter: int = 100, seeds: int = 2,
-               stack0: bool = True, toy: bool = False) -> list[dict]:
+               stack0: bool = True, toy: bool = False,
+               line_search: str = "mt") -> list[dict]:
     """Returns one record per seed: {seed, ours, scipy, rel, ...}."""
     import jax
     import jax.numpy as jnp
@@ -89,9 +90,8 @@ def run_parity(t: int = 16384, maxiter: int = 100, seeds: int = 2,
         vg = jax.jit(jax.value_and_grad(loss))
         x0 = jnp.full((1, t), 1e-6, jnp.float32)
 
-        res = jax.jit(
-            lambda x: lbfgs_minimize(vg, x, LBFGSOptions(maxiter=maxiter))
-        )(x0)
+        opts = LBFGSOptions(maxiter=maxiter, line_search=line_search)
+        res = jax.jit(lambda x: lbfgs_minimize(vg, x, opts))(x0)
         ours, ours_ev = float(res.f), int(res.n_evals)
 
         def f_np(x64):
@@ -142,6 +142,9 @@ def main(argv=None) -> int:
                    help="style grams over all 30 layers instead of stack 0")
     p.add_argument("--toy", action="store_true",
                    help="toy geometry (fast; the unit-test configuration)")
+    p.add_argument("--line_search", default="mt", choices=("mt", "zoom"),
+                   help="mt = SciPy's own dcsrch port; zoom = the engine's "
+                        "faster strong-Wolfe zoom (c2=0.5)")
     p.add_argument("--device_check", action="store_true",
                    help="print the jax platform and exit 0")
     args = p.parse_args(argv)
@@ -153,7 +156,8 @@ def main(argv=None) -> int:
         return 0
 
     records = run_parity(t=args.t, maxiter=args.maxiter, seeds=args.seeds,
-                         stack0=not args.full_stack, toy=args.toy)
+                         stack0=not args.full_stack, toy=args.toy,
+                         line_search=args.line_search)
     ok = True
     for r in records:
         print(json.dumps(r))

@@ -89,8 +89,13 @@ def main():
 
     try:
         engine = StyleTransfer(spec, params)
-    except Exception:
-        engine = StyleTransfer(_dc.replace(spec, fused_encoder=False), params)
+    except Exception as e:
+        import sys
+
+        print(f"WARNING: fused-encoder setup failed ({e!r}); "
+              "falling back to XLA convs", file=sys.stderr)
+        spec = _dc.replace(spec, fused_encoder=False)
+        engine = StyleTransfer(spec, params)
 
     content = synth_audio(2.0, kind="content")
     style = synth_audio(2.0, kind="style")
@@ -110,7 +115,11 @@ def main():
     if args.warmup:
         try:
             engine.optimize(phi_c, phi, epochs=args.epochs)
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(f"WARNING: fused-encoder compile failed ({e!r}); "
+                  "falling back to XLA convs", file=sys.stderr)
             spec = _dc.replace(spec, fused_encoder=False)
             engine = StyleTransfer(spec, params)
             engine.optimize(phi_c, phi, epochs=args.epochs)
@@ -157,6 +166,10 @@ def run_longform(params, args):
         stack=0, batch_size=args.batch_size, epochs=min(args.epochs, 20),
         maxiter=args.maxiter, early_stop_evals=0,
         compute_dtype=args.precision, fused_encoder=False,
+        # XLA convs win for batched windows, but the Pallas all-pairs gram
+        # still pays (the vmapped pairwise gram stops fusing): 304 vs ~240
+        # aggregate evals/s at B=8 (see BENCH_NOTES.md).
+        fused_gram=args.fused,
         write_artifacts=False,
     )
     engine = StyleTransfer(spec, params)

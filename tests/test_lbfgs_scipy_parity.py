@@ -27,8 +27,13 @@ from audio_style_transfer_tpu.transfer.scipy_parity import run_parity
 N_SEEDS = 5
 
 
-def test_final_loss_two_sided_one_percent_of_scipy():
-    records = run_parity(t=2048, maxiter=100, seeds=N_SEEDS, toy=True)
+@pytest.mark.parametrize("line_search", ["mt", "zoom"])
+def test_final_loss_two_sided_one_percent_of_scipy(line_search):
+    """Both line searches must hold the bound: "mt" is the LBFGSOptions
+    default (a port of SciPy's own dcsrch), "zoom" is the faster c2=0.5
+    strong-Wolfe search the per-epoch transfer engine runs."""
+    records = run_parity(t=2048, maxiter=100, seeds=N_SEEDS, toy=True,
+                         line_search=line_search)
     comparable = [r for r in records if not r["scipy_stalled"]]
     report = "\n".join(
         f"seed {r['seed']}: ours {r['ours']:.6f} ({r['ours_evals']} evals) "
