@@ -10,6 +10,8 @@ alternating-update path is provided for completeness.  The update loop is a
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,10 +32,14 @@ def _mu_update_h(x, w, h):
     return h * numer / jnp.maximum(denom, _EPS)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
 def nmf_transform(x, h, max_iter: int = 400):
     """Solve min_W ||X - W H||_F with W >= 0 and H fixed (solver='mu').
 
     Mirrors sklearn's transform-only call used at reference utils.py:134-135.
+    jit-wrapped: an eager ``fori_loop`` recompiles per process (it misses
+    the persistent compilation cache) and pays per-op dispatch on remote
+    runtimes.
 
     Args:
       x: [n_samples, n_features] non-negative data.
@@ -53,6 +59,7 @@ def nmf_transform(x, h, max_iter: int = 400):
     return jax.lax.fori_loop(0, max_iter, body, w0)
 
 
+@functools.partial(jax.jit, static_argnames=("n_components", "max_iter", "seed"))
 def nmf(x, n_components: int, max_iter: int = 200, seed: int = 0):
     """Full alternating multiplicative-update NMF: X ~ W @ H.
 

@@ -12,6 +12,8 @@ Palette convention follows the reference's demo (optimal_transport.py:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,7 @@ def projection_column_sum_in_range(x0, lo, hi):
     return x0 + (corr / x0.shape[1])[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("eps", "miter"))
 def ot_admm(palette2mod, palette_ref, eps: float = 1e-4, miter: int = 100000):
     """ADMM optimal transport (reference optimal_transport.py:77-137).
 

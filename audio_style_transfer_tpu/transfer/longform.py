@@ -23,12 +23,14 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from audio_style_transfer_tpu.signal.mu_law import inv_mu_law_numpy
 from audio_style_transfer_tpu.transfer.engine import StyleTransfer
 from audio_style_transfer_tpu.transfer.grams import l2_normalize
+from audio_style_transfer_tpu.transfer.losses import transfer_embeds
 
 
 def chunk_audio(audio: np.ndarray, window: int) -> np.ndarray:
@@ -66,12 +68,14 @@ def transfer_longform(
       crossfade: samples of linear crossfade when stitching windows.
       mesh: optional 1-D jax Mesh — windows shard across its devices
         (the v5e-8 scale-out path; window count must divide device count).
-      windows_per_device: windows optimized concurrently per chip. A 60-s
-        clip is 58 windows; running all of them in one vmapped program
-        exhausts a single chip's HBM (each lane keeps 30 residual taps
-        alive for the backward pass), so windows run in groups of
-        windows_per_device * n_devices. Groups are padded to the mesh size
-        by repeating the last window, then trimmed.
+      windows_per_device: (mesh only) windows optimized concurrently per
+        chip. A 60-s clip is 58 windows; running all of them in one
+        vmapped program exhausts a chip's HBM (each lane keeps 30 residual
+        taps alive for the backward pass), so windows run in groups of
+        windows_per_device * n_devices, padded to the mesh size by
+        repeating the last window, then trimmed. Without a mesh the
+        windows run sequentially through the fused single-clip program
+        (faster than vmap on one chip — no lockstep) and this is unused.
     """
     spec = engine.spec
     window = spec.batch_size
@@ -86,36 +90,57 @@ def transfer_longform(
         phi_t = _ot_transform_gram(engine, style_audio, content_audio,
                                    phi_t, ot_components)
 
-    phi_cs = np.stack([engine.get_embeds(w) for w in windows])
-    phis = []
-    for w in windows:
-        phi = engine.get_embeds(w, is_content=False)
-        phi = np.asarray(
-            l2_normalize(jnp.asarray(phi + phi_t - phi_s), axes=(1, 2))
-        )
-        phis.append(phi)
-    phis = np.stack(phis)
+    # Per-window content embeds + translated style targets, computed in ONE
+    # jitted device program (lax.map over windows) with the results left on
+    # device. The previous host loop made 2 dispatches per window and
+    # shipped every [T, C] content embed device->host->device (~1 GB of
+    # tunnel traffic for 58 windows; measured 27 s of a 182 s run).
+    from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
 
-    n_dev = int(mesh.devices.size) if mesh is not None else 1
-    group = max(windows_per_device * n_dev, n_dev)
-    parts = []
-    for s in range(0, k, group):
-        pc, ph = phi_cs[s : s + group], phis[s : s + group]
-        # Pad a trailing partial group to the FULL group size when earlier
-        # groups exist: vmapped lanes run in lockstep, so the padded lanes
-        # are free, and reusing the first group's program shape avoids a
-        # second XLA/Mosaic compile. A lone short group only pads to the
-        # mesh multiple (a smaller program is cheaper than a padded one).
-        pad_to = group if k > group else -(-len(pc) // n_dev) * n_dev
-        pad = pad_to - len(pc)
-        if pad:
-            pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
-            ph = np.concatenate([ph, np.repeat(ph[-1:], pad, axis=0)])
-        r = engine.optimize_batch(pc, ph, epochs=epochs, mesh=mesh)
-        if pad:
-            r = {key: v[: len(v) - pad] for key, v in r.items()}
-        parts.append(r)
-    result = {key: np.concatenate([p[key] for p in parts]) for key in parts[0]}
+    def _window_targets(params, wins_q, pt, ps):
+        def one(xq):
+            c, s = transfer_embeds(params, xq[None], engine.cfg,
+                                   engine.loss_spec)
+            return c, l2_normalize(s + pt - ps, axes=(1, 2))
+
+        return jax.lax.map(one, wins_q)
+
+    phi_cs, phis = jax.jit(_window_targets)(
+        engine.params,
+        jnp.asarray(mu_law_numpy(windows), jnp.float32),
+        jnp.asarray(phi_t),
+        jnp.asarray(phi_s),
+    )
+
+    if mesh is None:
+        # Single chip: optimize_batch runs the windows sequentially through
+        # the fused single-clip program (one compile, no lockstep, no HBM
+        # pressure from concurrent lanes) — no grouping or padding needed.
+        result = engine.optimize_batch(phi_cs, phis, epochs=epochs)
+    else:
+        n_dev = int(mesh.devices.size)
+        group = max(windows_per_device * n_dev, n_dev)
+        parts = []
+        for s in range(0, k, group):
+            pc, ph = phi_cs[s : s + group], phis[s : s + group]
+            # Pad a trailing partial group to the FULL group size when
+            # earlier groups exist: vmapped lanes run in lockstep, so the
+            # padded lanes are free, and reusing the first group's program
+            # shape avoids a second XLA/Mosaic compile. A lone short group
+            # only pads to the mesh multiple (a smaller program is cheaper
+            # than a padded one).
+            pad_to = group if k > group else -(-len(pc) // n_dev) * n_dev
+            pad = pad_to - len(pc)
+            if pad:
+                pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
+                ph = np.concatenate([ph, np.repeat(ph[-1:], pad, axis=0)])
+            r = engine.optimize_batch(pc, ph, epochs=epochs, mesh=mesh)
+            if pad:
+                r = {key: v[: len(v) - pad] for key, v in r.items()}
+            parts.append(r)
+        result = {
+            key: np.concatenate([p[key] for p in parts]) for key in parts[0]
+        }
 
     # Stitch windows with a short crossfade to hide seam discontinuities.
     outs = [inv_mu_law_numpy(result["x"][i, 0]) for i in range(k)]
@@ -141,10 +166,17 @@ def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):
 
     window = engine.spec.batch_size
 
+    # One jitted program per encoder pass — running the 30-layer encoder
+    # eagerly dispatches every op through the (remote) runtime one at a
+    # time, measured ~35 s/pass on the tunnel vs milliseconds jitted.
+    @jax.jit
+    def _enc_feats(params, xq):
+        extracts, _ = encoder_extracts(params, xq, engine.cfg)
+        return jnp.maximum(extracts[-2][0].astype(jnp.float32), 0.0)
+
     def feats(aud):
         xq = jnp.asarray(mu_law_numpy(aud[None, :window]), jnp.float32)
-        extracts, _ = encoder_extracts(engine.params, xq, engine.cfg)
-        return np.maximum(np.asarray(extracts[-2][0], np.float32), 0.0)  # [T, C]
+        return np.asarray(_enc_feats(engine.params, xq))  # [T, C]
 
     fs = feats(style_audio)
     fc = feats(content_audio)
