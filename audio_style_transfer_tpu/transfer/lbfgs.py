@@ -475,7 +475,9 @@ def lbfgs_minimize(
     value_and_grad: Callable,
     x0: jax.Array,
     opts: LBFGSOptions = LBFGSOptions(),
-) -> LBFGSResult:
+    history: dict | None = None,
+    return_history: bool = False,
+):
     """Minimize ``f`` with L-BFGS, fully on device.
 
     Args:
@@ -483,10 +485,17 @@ def lbfgs_minimize(
         (Build with ``jax.value_and_grad``; any pytree is supported by
         flattening outside.)
       x0: initial point (any shape; treated as a flat vector internally).
+      history: optional curvature memory from a previous call (as returned
+        with ``return_history=True``) to warm-start the Hessian
+        approximation — the continuation mode the reference's per-epoch
+        ``ScipyOptimizerInterface.minimize`` restarts cannot express
+        (SciPy's L-BFGS-B is stateless across calls).
+      return_history: also return the final curvature memory.
 
     Returns:
-      LBFGSResult with the final iterate and counters. Wrap the call in
-      ``jax.jit`` for a single fused XLA program.
+      LBFGSResult with the final iterate and counters — or
+      ``(LBFGSResult, history)`` when ``return_history`` is set. Wrap the
+      call in ``jax.jit`` for a single fused XLA program.
     """
     shape = x0.shape
     x0 = x0.reshape(-1)
@@ -500,19 +509,23 @@ def lbfgs_minimize(
 
     f0, g0 = vg(x0)
 
+    if history is None:
+        history = dict(
+            s_hist=jnp.zeros((m, n), dtype),
+            y_hist=jnp.zeros((m, n), dtype),
+            rho=jnp.zeros((m,), dtype),
+            head=jnp.array(0, jnp.int32),
+            count=jnp.array(0, jnp.int32),
+            gamma=jnp.asarray(1.0, dtype),
+        )
     state = dict(
         x=x0, f=f0, g=g0,
-        s_hist=jnp.zeros((m, n), dtype),
-        y_hist=jnp.zeros((m, n), dtype),
-        rho=jnp.zeros((m,), dtype),
-        head=jnp.array(0, jnp.int32),
-        count=jnp.array(0, jnp.int32),
-        gamma=jnp.asarray(1.0, dtype),
         k=jnp.array(0, jnp.int32),
         n_evals=jnp.array(1, jnp.int32),
         status=jnp.array(2, jnp.int32),  # default: maxiter
         done=jnp.array(False),
         ftol_strikes=jnp.array(0, jnp.int32),
+        **history,
     )
 
     def cond(st):
@@ -536,7 +549,11 @@ def lbfgs_minimize(
             first_a = 1.0 / jnp.sqrt(jnp.vdot(d, d))
         else:
             first_a = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(st["g"])))
-        a_init = jnp.where(st["k"] == 0, first_a, 1.0).astype(dtype)
+        # The small first step only applies with an empty memory (a
+        # warm-started call's two-loop direction is already well scaled).
+        a_init = jnp.where(
+            (st["k"] == 0) & (st["count"] == 0), first_a, 1.0
+        ).astype(dtype)
 
         x, f, g = st["x"], st["f"], st["g"]
 
@@ -597,7 +614,7 @@ def lbfgs_minimize(
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return LBFGSResult(
+    res = LBFGSResult(
         x=st["x"].reshape(shape),
         f=st["f"],
         g=st["g"].reshape(shape),
@@ -605,3 +622,7 @@ def lbfgs_minimize(
         n_evals=st["n_evals"],
         status=st["status"],
     )
+    if return_history:
+        return res, {k: st[k] for k in
+                     ("s_hist", "y_hist", "rho", "head", "count", "gamma")}
+    return res

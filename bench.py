@@ -55,6 +55,11 @@ def main():
     parser.add_argument("--longform", action="store_true",
                         help="also run the 60-s chunked+OT long-form config "
                              "(BASELINE config 5; ~5 min single-chip)")
+    parser.add_argument("--warm_start", action="store_true",
+                        help="carry L-BFGS curvature memory across epochs "
+                             "(continuation mode; same final loss, ~4x "
+                             "faster — NOT the reference's per-epoch-"
+                             "restart accounting, so off by default)")
     parser.add_argument("--warmup", type=int, default=1)
     args = parser.parse_args()
 
@@ -83,6 +88,7 @@ def main():
         early_stop_evals=0,  # run the full budget: benchmark fixed work
         compute_dtype=args.precision,
         fused_encoder=args.fused,
+        warm_start=args.warm_start,
         write_artifacts=False,
     )
     import dataclasses as _dc

@@ -213,3 +213,32 @@ def test_short_audio_clear_errors(transfer_setup):
     # content window falling off the end of the clip
     with pytest.raises(ValueError, match="content window"):
         st.run(cpath, cpath, spath, epochs=1, start=100.0)
+
+
+def test_warm_start_matches_cold_final_loss(transfer_setup):
+    """spec.warm_start carries the L-BFGS memory across epochs: the final
+    loss must match the reference-faithful cold-restart mode within 1%
+    (the parity budget) while spending fewer total evaluations once the
+    run has epochs to amortize (here: 6 epochs at maxiter 8)."""
+    import dataclasses
+
+    st, *_ = transfer_setup
+    rng = np.random.RandomState(11)
+    aud_c = rng.uniform(-0.6, 0.6, 4096).astype(np.float32)
+    aud_s = rng.uniform(-0.6, 0.6, 4096).astype(np.float32)
+    phi_c = st.get_embeds(aud_c)
+    phi_s = st.get_embeds(aud_s, is_content=False)
+
+    cold = st.optimize(phi_c, phi_s, epochs=6)
+    warm_engine = StyleTransfer(
+        dataclasses.replace(st.spec, warm_start=True),
+        init_params(jax.random.PRNGKey(42), SMALL),
+        model_cfg=SMALL,
+    )
+    warm = warm_engine.optimize(phi_c, phi_s, epochs=6)
+
+    f_cold = cold["metrics"][cold["epochs_done"] - 1, 0]
+    f_warm = warm["metrics"][warm["epochs_done"] - 1, 0]
+    assert abs(f_warm - f_cold) / abs(f_cold) < 0.01, (f_cold, f_warm)
+    assert int(np.sum(warm["evals"])) <= int(np.sum(cold["evals"])), (
+        warm["evals"], cold["evals"])
