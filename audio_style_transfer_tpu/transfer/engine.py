@@ -122,19 +122,15 @@ class StyleTransfer:
             lambda params, xq: transfer_embeds(params, xq, self.cfg, self.loss_spec)
         )
         self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
-        # Batched variant (bench config 4: K clips vmapped on one chip,
-        # encoder weights shared): vmap over (x0, phi_c, phi_s). The fused
-        # encoder block supports vmap via a custom batching rule that
-        # flattens the batch into one clip-aware kernel launch
-        # (ops/pallas_encoder.py), but measured slower than the XLA conv
-        # composition at B=8 (layout-hostile cotangents into the manual
-        # DMAs; see BENCH_NOTES.md), so the batched path defaults to XLA
-        # convs — at 8 clips in flight the MXU is well utilized either way.
-        # The Pallas *gram* kernel stays on (regular BlockSpec pipeline, no
-        # manual DMAs — it batches cleanly) and is worth it at ANY layer
-        # count there: the vmapped XLA pairwise gram stops fusing
-        # (broadcast+reduce blowup), measured 304 vs ~240 aggregate evals/s
-        # at B=8, L=10 on v5e.
+        # Vmapped variant — used ONLY when optimize_batch gets a mesh (the
+        # multi-chip scale-out path; single-chip batches run sequentially
+        # via _epochs_seq_fn below). vmap over (x0, phi_c, phi_s) with
+        # shared weights. The fused encoder block does support vmap (a
+        # custom batching rule flattens the batch into one clip-aware
+        # kernel launch, ops/pallas_encoder.py), but its manual halo DMAs
+        # receive the gram cotangents in a layout that forces strided HBM
+        # reads at B>1 (5.84 vs 2.17 ms/clip-eval measured at B=8), so the
+        # vmapped program uses XLA convs + the Pallas gram kernel.
         batch_self = self
         if spec.fused_encoder:
             batch_self = StyleTransfer(
