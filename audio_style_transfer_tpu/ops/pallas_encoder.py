@@ -45,20 +45,39 @@ DEFAULT_TILE = 2048
 _ALIGN = 8
 
 
-def _pick_tile(t: int, h: int = 0, cap: int | None = None) -> int:
-    """Largest power-of-two tile dividing t that fits VMEM with halo h.
+# Mosaic's scoped-VMEM stack limit is 16 MB; leave headroom for the
+# register allocator's own spills and the double-buffered out pipeline.
+_SCOPED_VMEM_BUDGET = 13 * 1024 * 1024
 
-    The backward kernel's scoped VMEM scales with 2*(tile + 4h) (two DMA
-    slots); tile 4096 overflows the 16 MB budget there, while the forward
-    kernel comfortably fits a 4096 tile at small halos — fewer grid
-    programs, less per-program overhead. ``cap`` lets the backward path
-    request the smaller bound.
+
+def _pick_tile(t: int, h: int, c: int, itemsize: int, kind: str) -> int:
+    """Largest power-of-two tile dividing t whose kernel fits scoped VMEM.
+
+    Estimates the kernel's VMEM stack: the ping-pong scratch slot pair
+    (cross-grid DMA prefetch), the double-buffered out block, and the f32
+    intermediates the compute body materializes ([ext, C] tensors for
+    y/dy/dr in the backward, y/z in the forward). Conservative on purpose:
+    a too-small tile costs a few extra grid programs, a too-large one is a
+    compile-time scoped-vmem OOM.
     """
-    budget = 4096 if h <= 128 else DEFAULT_TILE
-    if cap is not None:
-        budget = min(budget, cap)
-    tile = min(t, budget)
+    s = itemsize
+    tile = min(t, 4096)
     while t % tile:
+        tile //= 2
+
+    def est(tile: int) -> int:
+        if kind == "bwd":
+            ext = tile + 2 * h
+            slots = 2 * (tile + 4 * h) * s + 2 * ext * s
+            temps = (tile + 4 * h) * 4 + ext * 4 * 3
+        else:
+            ext = tile + 2 * h
+            slots = 2 * ext * s
+            temps = ext * 4 + tile * 4 * 2
+        out = 2 * tile * s
+        return c * (slots + temps + out)
+
+    while tile > _ALIGN and est(tile) > _SCOPED_VMEM_BUDGET:
         tile //= 2
     return max(tile, _ALIGN)
 
@@ -181,16 +200,42 @@ def _halo_wait(sems, i, cp: int, x_ref, scratch, tile: int, h: int):
         ).wait()
 
 
-def _fwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, w0_ref,
-                w1_ref, w2_ref, b1_ref, wr_ref, b2_ref, out_ref, scratch,
-                sems):
+def _fwd_kernel(d: int, h: int, tile: int, cp: int, nprog: int, x_ref,
+                w0_ref, w1_ref, w2_ref, b1_ref, wr_ref, b2_ref, out_ref,
+                scratch, sems):
     """The residual-add input is the scratch's center rows (x itself) — x is
-    read from HBM exactly once, with no padded copy materialized."""
-    i = pl.program_id(0)
-    _halo_copy_in(x_ref, scratch, sems, i, tile, h, cp)
-    _halo_wait(sems, i, cp, x_ref, scratch, tile, h)
+    read from HBM exactly once, with no padded copy materialized.
 
-    buf = scratch[:]
+    Cross-grid ping-pong prefetch: program i starts block i+1's halo DMAs
+    into the alternate scratch slot BEFORE waiting on its own, so the next
+    tile streams from HBM while this tile's matmuls run (grid programs
+    execute sequentially; their DMAs don't). Numerically identical to the
+    single-buffered scheme — only the copy scheduling changes.
+    """
+    i = pl.program_id(0)
+    even = jax.lax.rem(i, 2) == 0
+
+    @pl.when(i == 0)
+    def _own_first():
+        _halo_copy_in(x_ref, scratch.at[0], sems.at[0], i, tile, h, cp)
+
+    @pl.when((i + 1 < nprog) & even)
+    def _prefetch_odd():
+        _halo_copy_in(x_ref, scratch.at[1], sems.at[1], i + 1, tile, h, cp)
+
+    @pl.when((i + 1 < nprog) & ~even)
+    def _prefetch_even():
+        _halo_copy_in(x_ref, scratch.at[0], sems.at[0], i + 1, tile, h, cp)
+
+    @pl.when(even)
+    def _wait_even():
+        _halo_wait(sems.at[0], i, cp, x_ref, scratch.at[0], tile, h)
+
+    @pl.when(~even)
+    def _wait_odd():
+        _halo_wait(sems.at[1], i, cp, x_ref, scratch.at[1], tile, h)
+
+    buf = scratch[jax.lax.rem(i, 2)]
     r = _relu(buf)
     left, center, right = _taps(r, h, d, tile)
     y = jnp.dot(left, w0_ref[:], preferred_element_type=jnp.float32)
@@ -207,11 +252,11 @@ def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int, clip_rows: int | None = N
     clip_rows = clip_rows or t
     assert t % clip_rows == 0
     h = _halo(dilation)
-    tile = _pick_tile(clip_rows, h)
+    tile = _pick_tile(clip_rows, h, c, x.dtype.itemsize, "fwd")
     nprog = t // tile
 
     kernel = functools.partial(_fwd_kernel, dilation, h, tile,
-                               clip_rows // tile)
+                               clip_rows // tile, nprog)
     return pl.pallas_call(
         kernel,
         grid=(nprog,),
@@ -228,8 +273,8 @@ def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int, clip_rows: int | None = N
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * h, c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tile + 2 * h, c), x.dtype),  # ping-pong slots
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(x, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :], w_res[0],
       b_res[None, :])
@@ -240,21 +285,56 @@ def _fwd(x, w_dil, b_dil, w_res, b_res, dilation: int, clip_rows: int | None = N
 # ---------------------------------------------------------------------- #
 
 
-def _bwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, g_ref,
-                w0_ref, w1_ref, w2_ref, b1_ref, wr_ref, out_ref,
+def _bwd_kernel(d: int, h: int, tile: int, cp: int, nprog: int, x_ref,
+                g_ref, w0_ref, w1_ref, w2_ref, b1_ref, wr_ref, out_ref,
                 x_scratch, g_scratch, sems):
-    """Single-buffered halo DMA (a double-buffered variant measured SLOWER:
-    the halved tile it needs to stay inside scoped VMEM costs more in extra
-    grid programs than the copy overlap buys — see BENCH_NOTES.md)."""
+    """Cross-grid ping-pong prefetch of both operands (see _fwd_kernel):
+    program i streams block i+1's x/g halo tiles into the alternate slots
+    while its own matmuls run. (An earlier WITHIN-program double-buffer
+    variant halved the tile to fit scoped VMEM and measured slower; the
+    cross-grid scheme keeps the full tile — the slot pair still fits.)"""
     i = pl.program_id(0)
     ext = tile + 2 * h
-    # x with a 2h halo, g with an h halo — both from the unpadded arrays.
-    _halo_copy_in(x_ref, x_scratch, sems.at[0], i, tile, 2 * h, cp)
-    _halo_copy_in(g_ref, g_scratch, sems.at[1], i, tile, h, cp)
-    _halo_wait(sems.at[0], i, cp, x_ref, x_scratch, tile, 2 * h)
-    _halo_wait(sems.at[1], i, cp, g_ref, g_scratch, tile, h)
+    even = jax.lax.rem(i, 2) == 0
 
-    r = _relu(x_scratch[:])  # [tile + 4h, C]
+    def start(slot, blk):
+        # x with a 2h halo, g with an h halo — both from unpadded arrays.
+        _halo_copy_in(x_ref, x_scratch.at[slot], sems.at[slot, 0], blk,
+                      tile, 2 * h, cp)
+        _halo_copy_in(g_ref, g_scratch.at[slot], sems.at[slot, 1], blk,
+                      tile, h, cp)
+
+    def wait(slot, blk):
+        _halo_wait(sems.at[slot, 0], blk, cp, x_ref, x_scratch.at[slot],
+                   tile, 2 * h)
+        _halo_wait(sems.at[slot, 1], blk, cp, g_ref, g_scratch.at[slot],
+                   tile, h)
+
+    @pl.when(i == 0)
+    def _own_first():
+        start(0, i)
+
+    @pl.when((i + 1 < nprog) & even)
+    def _prefetch_odd():
+        start(1, i + 1)
+
+    @pl.when((i + 1 < nprog) & ~even)
+    def _prefetch_even():
+        start(0, i + 1)
+
+    @pl.when(even)
+    def _wait_even():
+        wait(0, i)
+
+    @pl.when(~even)
+    def _wait_odd():
+        wait(1, i)
+
+    slot = jax.lax.rem(i, 2)
+    x_buf = x_scratch[slot]
+    g_buf = g_scratch[slot]
+
+    r = _relu(x_buf)  # [tile + 4h, C]
     # recompute y on the extended window [i*tile - h, i*tile + tile + h):
     # r covers an h-halo around that window.
     left, center, right = _taps(r, h, d, ext)
@@ -263,7 +343,7 @@ def _bwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, g_ref,
     y += jnp.dot(right, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b1_ref[:]
 
-    g_ext = g_scratch[:]  # zeros outside the sequence -> dy zero there
+    g_ext = g_buf  # zeros outside the sequence -> dy zero there
     dtype = out_ref.dtype
     dv = jnp.dot(g_ext, wr_ref[:].T, preferred_element_type=jnp.float32)
     dy = jnp.where(y > 0.0, dv, 0.0).astype(dtype)  # [ext, C] (y is f32)
@@ -276,8 +356,8 @@ def _bwd_kernel(d: int, h: int, tile: int, cp: int, x_ref, g_ref,
     dr += jnp.dot(dy_left, w2_ref[:].T, preferred_element_type=jnp.float32)
 
     # g center rows are g itself — read from HBM once via the halo DMA.
-    x_center = x_scratch[2 * h : tile + 2 * h]
-    dx = g_scratch[h : h + tile] + jnp.where(
+    x_center = x_buf[2 * h : tile + 2 * h]
+    dx = g_buf[h : h + tile] + jnp.where(
         _pos_mask(x_center), dr.astype(dtype), jnp.zeros((), dtype)
     )
     out_ref[:] = dx
@@ -288,11 +368,11 @@ def _bwd(x, g, w_dil, b_dil, w_res, dilation: int, clip_rows: int | None = None)
     clip_rows = clip_rows or t
     assert t % clip_rows == 0
     h = _halo(dilation)
-    tile = _pick_tile(clip_rows, h)
+    tile = _pick_tile(clip_rows, h, c, x.dtype.itemsize, "bwd")
 
     nprog = t // tile
     kernel = functools.partial(_bwd_kernel, dilation, h, tile,
-                               clip_rows // tile)
+                               clip_rows // tile, nprog)
     return pl.pallas_call(
         kernel,
         grid=(nprog,),
@@ -309,9 +389,9 @@ def _bwd(x, g, w_dil, b_dil, w_res, dilation: int, clip_rows: int | None = None)
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 4 * h, c), x.dtype),
-            pltpu.VMEM((tile + 2 * h, c), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, tile + 4 * h, c), x.dtype),  # x ping-pong slots
+            pltpu.VMEM((2, tile + 2 * h, c), x.dtype),  # g ping-pong slots
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
         ],
     )(x, g, w_dil[0], w_dil[1], w_dil[2], b_dil[None, :],
       w_res[0])

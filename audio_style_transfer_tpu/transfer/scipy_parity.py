@@ -12,9 +12,10 @@ Run on the TPU (preferred; ~40 s/side warm) or CPU (slow):
     python -m audio_style_transfer_tpu.transfer.scipy_parity \
         --seeds 2 --maxiter 100 --tol 0.01
 
-Exit code 0 iff every seed's |rel| <= tol.  Measured 2026-08-16 on one
-v5e chip, maxiter=100, seeds 0/1: rel -0.024% / +0.018%
-(ours 94/87 evals, scipy 66/68) — see BENCH_NOTES.md.
+Exit code 0 iff every seed's |rel| <= tol.  Measured 2026-08-17 on one
+v5e chip with the Moré-Thuente (dcsrch-port) line search, maxiter=100,
+seeds 0/1: rel -0.020% / -0.007%, ours 81/96 evals vs scipy 80/79 — see
+BENCH_NOTES.md.
 """
 
 from __future__ import annotations
