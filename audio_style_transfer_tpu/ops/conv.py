@@ -51,6 +51,16 @@ def conv1d(
     # rule (the cotangent arrives in f32); the TPU MXU already accumulates
     # bf16 products in f32 internally, so only force it for f32 inputs.
     preferred = accum_dtype if x.dtype == accum_dtype else None
+    if w.shape[1] == 1 and filter_length > 1:
+        # Single-input-channel front convs (ae_startconv / startconv): the
+        # conv op on a [B, T, 1] operand makes XLA pick a pathological
+        # {2,0,1:T(2,128)} layout feeding the Pallas custom-calls (~150 us
+        # per transfer eval in the round-2 xplane trace). Express it as
+        # shifted broadcast multiplies in the natural [B, T, C] layout.
+        # Numerics are identical: bf16xbf16 products are exact in f32 (16
+        # mantissa bits), and the taps accumulate in f32 in filter order,
+        # exactly like the MXU conv path.
+        return _conv1d_one_in_channel(x, w, b, dilation, causal, accum_dtype)
     if filter_length == 1:
         # 1x1 convolutions are plain feature matmuls; skip the conv op so XLA
         # fuses them with neighbouring elementwise work more readily.
@@ -69,6 +79,38 @@ def conv1d(
         )
     if b is not None:
         y = y + b
+    return y.astype(x.dtype)
+
+
+def _conv1d_one_in_channel(x, w, b, dilation: int, causal: bool, accum_dtype):
+    """conv1d fast path for in_channels == 1 (see conv1d).
+
+    out[n, t, c] = sum_k x[n, t + o_k, 0] * w[k, 0, c]   (zeros off-edge)
+    with o_k = -pad_left + k*dilation matching the conv padding exactly.
+    """
+    filter_length = w.shape[0]
+    span = (filter_length - 1) * dilation
+    pad_left = span if causal else span // 2
+    xt = x[..., 0].astype(accum_dtype)  # [B, T]
+    t = xt.shape[1]
+    zeros = jnp.zeros_like(xt)
+
+    def shift(o: int):
+        # rows t read x[t + o]
+        if o == 0:
+            return xt
+        if o > 0:
+            return jnp.concatenate([xt[:, o:], zeros[:, :o]], axis=1)
+        return jnp.concatenate([zeros[:, :-o], xt[:, :o]], axis=1)
+
+    y = None
+    for k in range(filter_length):
+        term = shift(-pad_left + k * dilation)[..., None] * w[k, 0].astype(
+            accum_dtype
+        )
+        y = term if y is None else y + term
+    if b is not None:
+        y = y + b.astype(accum_dtype)
     return y.astype(x.dtype)
 
 
