@@ -96,3 +96,72 @@ class MetricsLogger:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def summarize_xplane(trace_dir: str, top: int = 20) -> dict:
+    """Aggregate a ``device_trace`` capture into per-op device-time totals.
+
+    Parses the ``*.xplane.pb`` protobuf jax.profiler writes (no TensorBoard
+    needed) and returns, per device plane, total leaf-op time grouped by op
+    kind plus the ``top`` most expensive individual ops — the summary that
+    drove the round-2 hot-loop optimizations (BENCH_NOTES.md: the gram
+    fusion and the [B, T, 1] front-conv layout churn were found this way).
+
+    Returns {} (with a note printed) when no xplane file or proto support
+    is available; the capture itself never depends on this parser.
+    """
+    import collections
+    import glob
+    import re
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        return {}
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        try:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
+        except ImportError:
+            return {}
+
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    out: dict = {}
+    for plane in xs.planes:
+        device = ("TPU" in plane.name or "GPU" in plane.name
+                  or plane.name.startswith("/device"))
+        if not device:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            tot: collections.Counter = collections.Counter()
+            cnt: collections.Counter = collections.Counter()
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                tot[name] += ev.duration_ps
+                cnt[name] += 1
+            # whiles/conds are containers whose duration includes their
+            # bodies; leaf ops are the real device work.
+            leaf = {n: t for n, t in tot.items()
+                    if not n.startswith(("%while", "%conditional"))}
+            kinds: collections.Counter = collections.Counter()
+            for n, t in leaf.items():
+                m = re.match(r"%([a-zA-Z_\-]+)", n)
+                kind = "pallas-custom-call" if "custom-call" in n else (
+                    m.group(1) if m else n[:24])
+                kinds[kind] += t
+            out[plane.name] = {
+                "total_leaf_ms": sum(leaf.values()) / 1e9,
+                "by_kind_ms": {k: t / 1e9 for k, t in kinds.most_common()},
+                "top_ops": [
+                    {"name": n[:160], "total_ms": t / 1e9, "count": cnt[n],
+                     "each_us": t / max(cnt[n], 1) / 1e6}
+                    for n, t in sorted(leaf.items(), key=lambda kv: -kv[1])[:top]
+                ],
+            }
+    return out

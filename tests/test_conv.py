@@ -91,3 +91,51 @@ def test_condition_broadcast():
     np.testing.assert_allclose(y[0, 4:, 0], 4.0)
     np.testing.assert_allclose(y[0, :4, 1], 3.0)
     np.testing.assert_allclose(y[0, 4:, 1], 5.0)
+
+
+def test_one_in_channel_fast_path_matches_general_conv():
+    """in_channels==1 convs take the shifted-broadcast fast path (layout
+    fix for ae_startconv/startconv); it must match lax.conv_general_dilated
+    exactly in f32 across causality and dilation."""
+    from jax import lax
+
+    rng = np.random.RandomState(5)
+    for causal in (True, False):
+        for dilation in (1, 2, 4):
+            for f in (2, 3, 5):
+                x = jnp.asarray(rng.randn(2, 64, 1), jnp.float32)
+                w = jnp.asarray(rng.randn(f, 1, 8), jnp.float32)
+                b = jnp.asarray(rng.randn(8), jnp.float32)
+                got = conv1d(x, w, b, dilation=dilation, causal=causal)
+                span = (f - 1) * dilation
+                pad = (span, 0) if causal else (span // 2, span - span // 2)
+                ref = lax.conv_general_dilated(
+                    x, w, window_strides=(1,), padding=[pad],
+                    rhs_dilation=(dilation,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=jnp.float32,
+                ) + b
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-5,
+                    err_msg=f"causal={causal} d={dilation} f={f}",
+                )
+
+
+def test_one_in_channel_fast_path_bf16_accumulates_f32():
+    """bf16 inputs: products and tap accumulation run in f32 with a single
+    final rounding (MXU semantics), not per-term bf16 rounding."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 32, 1), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(3, 1, 4), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(4), jnp.bfloat16)
+    got = conv1d(x, w, b, causal=False)
+    assert got.dtype == jnp.bfloat16
+    xp = np.pad(np.asarray(x, np.float32)[0, :, 0], (1, 1))
+    ref = np.zeros((32, 4), np.float32)
+    for k in range(3):
+        ref += xp[k : k + 32, None] * np.asarray(w, np.float32)[k, 0]
+    ref += np.asarray(b, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[0],
+        np.asarray(jnp.asarray(ref, jnp.bfloat16), np.float32),
+    )
