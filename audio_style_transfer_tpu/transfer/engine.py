@@ -133,9 +133,14 @@ class StyleTransfer:
         # vmapped program uses XLA convs + the Pallas gram kernel.
         batch_self = self
         if spec.fused_encoder:
+            # Default the vmapped path's gram to the Pallas kernel (the
+            # vmapped XLA pairwise gram stops fusing), but honor an
+            # explicit spec.fused_gram=False — the user may be dodging a
+            # Mosaic scoped-VMEM overflow at their batch/layer shape.
+            batch_gram = True if spec.fused_gram is None else spec.fused_gram
             batch_self = StyleTransfer(
                 dataclasses.replace(
-                    spec, fused_encoder=False, fused_gram=True
+                    spec, fused_encoder=False, fused_gram=batch_gram
                 ),
                 params,
                 model_cfg,
@@ -268,6 +273,19 @@ class StyleTransfer:
                 history=st["history"] if spec.warm_start else None,
                 return_history=True,
             )
+            # Warm start: an epoch that ended on a failed line search
+            # (status 3) hands over its x but a RESET memory — otherwise
+            # the next epoch would inherit the identical state and
+            # deterministically repeat the failure (an f32-plateau
+            # livelock; review finding). Cold mode resets every epoch
+            # anyway. In-place restarts (restart_on_ls_fail) are NOT used
+            # here: they turn plateau epochs into full-maxiter grinds (a
+            # failed search costs maxls evaluations each time).
+            if spec.warm_start:
+                hist = jax.tree.map(
+                    lambda fresh, h: jnp.where(res.status == 3, fresh, h),
+                    history0, hist,
+                )
             _, parts = loss_fn(res.x)
             metrics_row = jnp.stack(
                 [parts["loss"], parts["content_loss"], parts["style_loss"],
@@ -350,15 +368,14 @@ class StyleTransfer:
                     [snapshots[i, max(int(e) - 1, 0)] for i, e in enumerate(ep_done)]
                 )[:, None, :],
             }
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            axis = mesh.axis_names[0]
-            assert k % mesh.devices.size == 0, (
-                f"{k} clips must divide the {mesh.devices.size}-device mesh"
-            )
-            shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
-            x0, phi_c, phi_s = shard(x0), shard(phi_c), shard(phi_s)
+        axis = mesh.axis_names[0]
+        assert k % mesh.devices.size == 0, (
+            f"{k} clips must divide the {mesh.devices.size}-device mesh"
+        )
+        shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+        x0, phi_c, phi_s = shard(x0), shard(phi_c), shard(phi_s)
         snapshots, metrics, evals, ep_done = self._epochs_batch_fn(
             self.params, x0, phi_c, phi_s, epochs
         )

@@ -64,8 +64,11 @@ class LBFGSOptions:
 
     def resolved_c1c2(self) -> tuple[float, float]:
         if self.line_search == "mt":
-            return (self.c1 or 1e-3, self.c2 or 0.9)
-        return (self.c1 or 1e-4, self.c2 or 0.5)
+            c1d, c2d = 1e-3, 0.9
+        else:
+            c1d, c2d = 1e-4, 0.5
+        return (self.c1 if self.c1 is not None else c1d,
+                self.c2 if self.c2 is not None else c2d)
 
 
 class LBFGSResult(NamedTuple):
@@ -339,8 +342,14 @@ def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stpmin, stpmax):
     dx_n = jnp.where(case1, dx, dp)
     brackt_n = brackt | case1 | case2
 
-    stp_n = jnp.clip(stpf, stpmin, stpmax)
-    return stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stp_n, brackt_n
+    # NOTE: dcstep.f clamps the trial to [stpmin, stpmax] ONLY in the
+    # unbracketed case-3/4 branches (already folded into stpf3_open/stpf4
+    # above). A global clamp here diverges from MINPACK on the
+    # extrapolate-then-bracket transition — stpmin > stp always holds while
+    # unbracketed, so the first interpolation inside a fresh bracket got
+    # clipped out of it, parking the search at stx (found in review; see
+    # tests/test_mt_line_search.py 'kink' case).
+    return stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stpf, brackt_n
 
 
 def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions):
@@ -370,6 +379,7 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
     a0 = jnp.clip(jnp.asarray(a_init, dtype), stpmin, stpmax)
     init = dict(
         stp=a0,
+        a_eval=zero,  # the step the state's f/g were evaluated at
         brackt=jnp.array(False),
         stage1=jnp.array(True),
         stx=zero, fx=finit, dx=ginit,
@@ -449,6 +459,7 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
         done = converged | warn
         return dict(
             stp=jnp.where(done, stp, stp_new),
+            a_eval=stp,
             brackt=brackt,
             stage1=stage1,
             stx=stx, fx=fx3, dx=dx3,
@@ -463,9 +474,13 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
 
     st = jax.lax.while_loop(cond, body, init)
     # Non-Wolfe exits still move if the last evaluated point improves f0
-    # (monotone safeguard; f/g/stp are always from the same evaluation).
+    # (monotone safeguard). ``a_eval`` — not ``stp`` — is the step the
+    # state's f/g were evaluated at: when maxls exhausts the loop, stp
+    # already holds the NEXT (never-evaluated) trial, and returning it
+    # would pair x + a*d with stale f/g and corrupt the (s, y) curvature
+    # pair built from them (found in review).
     accept = st["ok"] | (st["f"] < f0)
-    a = jnp.where(accept, st["stp"], 0.0)
+    a = jnp.where(accept, st["a_eval"], 0.0)
     f = jnp.where(accept, st["f"], f0)
     g = jnp.where(accept, st["g"], g0)
     return a, f, g, st["n_evals"], accept

@@ -182,7 +182,16 @@ def run_longform(params, args):
         fused_encoder=args.fused,
         write_artifacts=False,
     )
-    engine = StyleTransfer(spec, params)
+    try:
+        engine = StyleTransfer(spec, params)
+    except Exception as e:
+        import dataclasses as _dc
+        import sys
+
+        print(f"WARNING: fused-encoder setup failed ({e!r}); longform "
+              "falling back to XLA convs", file=sys.stderr)
+        spec = _dc.replace(spec, fused_encoder=False)
+        engine = StyleTransfer(spec, params)
     content = synth_audio(60.0, kind="content")
     style = synth_audio(4.0, kind="style")
     t0 = time.time()

@@ -131,3 +131,60 @@ def test_restart_recovers_from_line_search_failure():
     x0 = jnp.asarray(np.r_[-1.2, 1.0, -1.2, 1.0, 0.5, 0.5], jnp.float32)
     res = lbfgs_minimize(vg, x0, LBFGSOptions(maxiter=400))
     assert float(res.f) < 1e-6, (float(res.f), int(res.status))
+
+
+# Review regression: extrapolate-then-bracket transition. dcstep must not
+# clamp the first in-bracket interpolation to the (stale) trust interval —
+# a global clamp parks the search at stx while SciPy interpolates onward.
+CASES_KINK = [
+    (
+        lambda a: -a + 0.5 * max(0.0, a - 1.0) ** 4,
+        lambda a: -1.0 + 2.0 * max(0.0, a - 1.0) ** 3,
+        0.01,
+        "kink",
+    ),
+]
+
+
+@pytest.mark.parametrize("phi,dphi,a0,name", CASES_KINK,
+                         ids=[c[3] for c in CASES_KINK])
+def test_kink_bracket_transition_matches_scipy(phi, dphi, a0, name):
+    a_ours, f_ours, n_ours, ok_ours, trials_ours = _run_ours(phi, dphi, a0)
+    a_sp, f_sp, trials_sp, ok_sp = _run_scipy(phi, dphi, a0)
+    assert ok_ours and ok_sp
+    assert len(trials_ours) == len(trials_sp), (trials_ours, trials_sp)
+    np.testing.assert_allclose(trials_ours, trials_sp, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a_ours, a_sp, rtol=1e-10, atol=1e-12)
+
+
+def test_maxls_exhaustion_returns_evaluated_point():
+    """On maxls exhaustion the returned (a, f, g) must come from the SAME
+    evaluation — not the next never-evaluated trial paired with stale f/g
+    (review finding: the stale triple corrupted the (s, y) curvature
+    pair in lbfgs_minimize)."""
+    phi = lambda a: -a + 0.5 * max(0.0, a - 1.0) ** 4
+    dphi = lambda a: -1.0 + 2.0 * max(0.0, a - 1.0) ** 3
+    opts = LBFGSOptions(maxls=3)
+
+    evaluated = []
+
+    def vg1d(a):
+        a = float(a)
+        evaluated.append(a)
+        return (
+            jnp.asarray(phi(a), jnp.float64),
+            jnp.asarray(dphi(a), jnp.float64),
+            jnp.asarray([dphi(a)], jnp.float64),
+        )
+
+    with jax.enable_x64(True), jax.disable_jit():
+        f0 = jnp.asarray(phi(0.0), jnp.float64)
+        g0 = jnp.asarray([dphi(0.0)], jnp.float64)
+        from audio_style_transfer_tpu.transfer.lbfgs import _mt_line_search
+        a, f, g, n, ok = _mt_line_search(vg1d, f0, g0,
+                                         jnp.asarray(dphi(0.0), jnp.float64),
+                                         0.01, opts)
+        a, f = float(a), float(f)
+    if ok:
+        assert any(abs(a - e) < 1e-12 for e in [0.0] + evaluated), (a, evaluated)
+        assert abs(f - phi(a)) < 1e-9, (a, f, phi(a))
