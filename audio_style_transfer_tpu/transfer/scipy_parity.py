@@ -13,9 +13,11 @@ Run on the TPU (preferred; ~40 s/side warm) or CPU (slow):
         --seeds 2 --maxiter 100 --tol 0.01
 
 Exit code 0 iff every seed's |rel| <= tol.  Measured 2026-08-17 on one
-v5e chip with the Moré-Thuente (dcsrch-port) line search, maxiter=100,
-seeds 0/1: rel -0.020% / -0.007%, ours 81/96 evals vs scipy 80/79 — see
-BENCH_NOTES.md.
+v5e chip with the Moré-Thuente (dcsrch-port) line search after the
+review's dcstep fix, maxiter=100, seeds 0/1: rel -0.006% / -0.010%
+(ours 221/161 evals vs scipy 102/61 — SciPy quits early on its f64 factr
+test at these f32 plateaus; our memory-restart semantics keep optimizing
+to a marginally lower loss) — see BENCH_NOTES.md.
 """
 
 from __future__ import annotations
