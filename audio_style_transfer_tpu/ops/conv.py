@@ -51,15 +51,19 @@ def conv1d(
     # rule (the cotangent arrives in f32); the TPU MXU already accumulates
     # bf16 products in f32 internally, so only force it for f32 inputs.
     preferred = accum_dtype if x.dtype == accum_dtype else None
-    if w.shape[1] == 1 and filter_length > 1:
-        # Single-input-channel front convs (ae_startconv / startconv): the
-        # conv op on a [B, T, 1] operand makes XLA pick a pathological
-        # {2,0,1:T(2,128)} layout feeding the Pallas custom-calls (~150 us
-        # per transfer eval in the round-2 xplane trace). Express it as
-        # shifted broadcast multiplies in the natural [B, T, C] layout.
-        # Numerics are identical: bf16xbf16 products are exact in f32 (16
-        # mantissa bits), and the taps accumulate in f32 in filter order,
-        # exactly like the MXU conv path.
+    if w.shape[1] == 1 and filter_length > 1 and x.shape[0] == 1:
+        # Single-input-channel front convs (ae_startconv / startconv) on
+        # batch-1 operands: the conv op on a [1, T, 1] operand makes XLA
+        # pick a pathological {2,0,1:T(2,128)} layout feeding the Pallas
+        # custom-calls (~150 us per transfer eval in the round-2 xplane
+        # trace). Express it as shifted broadcast multiplies in the
+        # natural [B, T, C] layout. Numerics are identical: bf16xbf16
+        # products are exact in f32 (16 mantissa bits), and the taps
+        # accumulate in f32 in filter order, exactly like the MXU conv
+        # path. Batch-1 only: at training shapes (batch 32 x 6144, decoder
+        # width 512) the f32 [B, T, C] intermediates this expansion
+        # materializes around the remat boundary overflowed HBM by ~5 GB,
+        # while the conv op's layouts are unproblematic there.
         return _conv1d_one_in_channel(x, w, b, dilation, causal, accum_dtype)
     if filter_length == 1:
         # 1x1 convolutions are plain feature matmuls; skip the conv op so XLA
