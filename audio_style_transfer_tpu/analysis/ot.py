@@ -42,11 +42,24 @@ def projection_column_sum_in_range(x0, lo, hi):
     return x0 + (corr / x0.shape[1])[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "miter"))
-def ot_admm(palette2mod, palette_ref, eps: float = 1e-4, miter: int = 100000):
+@functools.partial(
+    jax.jit, static_argnames=("eps", "miter", "verbose", "return_info")
+)
+def ot_admm(
+    palette2mod,
+    palette_ref,
+    eps: float = 1e-4,
+    miter: int = 100000,
+    verbose: bool = False,
+    return_info: bool = False,
+):
     """ADMM optimal transport (reference optimal_transport.py:77-137).
 
-    Returns the transport plan [n1, n2].
+    Returns the transport plan [n1, n2]; with ``return_info`` also a dict of
+    convergence diagnostics (iterations run, final residual norms) — the
+    equivalent of the reference's inline convergence printout
+    (optimal_transport.py:119-125).  ``verbose`` additionally prints the
+    residuals every 100 iterations from inside the device loop.
     """
     c = build_moving_cost_matrix(palette2mod, palette_ref)
     c = c / jnp.max(c)
@@ -67,6 +80,7 @@ def ot_admm(palette2mod, palette_ref, eps: float = 1e-4, miter: int = 100000):
         lam=jnp.zeros((3,) + c.shape),
         it=jnp.array(0, jnp.int32),
         done=jnp.array(False),
+        res=jnp.zeros((4,)),  # [d_change, d_aux0, d_aux1, d_aux2]
     )
 
     def cond(st):
@@ -87,18 +101,38 @@ def ot_admm(palette2mod, palette_ref, eps: float = 1e-4, miter: int = 100000):
 
         norm_sol = jnp.linalg.norm(sol)
         tol = eps * norm_sol
-        converged = (
-            (jnp.linalg.norm(sol - st["old"]) < tol)
-            & (jnp.linalg.norm(sol - aux[0]) < tol)
-            & (jnp.linalg.norm(sol - aux[1]) < tol)
-            & (jnp.linalg.norm(sol - aux[2]) < tol)
-        )
+        res = jnp.stack([
+            jnp.linalg.norm(sol - st["old"]),
+            jnp.linalg.norm(sol - aux[0]),
+            jnp.linalg.norm(sol - aux[1]),
+            jnp.linalg.norm(sol - aux[2]),
+        ])
+        converged = jnp.all(res < tol)
+        if verbose:
+            jax.lax.cond(
+                st["it"] % 100 == 0,
+                lambda: jax.debug.print(
+                    "OT ADMM it {it}: d_change {a:.3e} d_aux "
+                    "{b:.3e}/{c:.3e}/{d:.3e} (tol {t:.3e})",
+                    it=st["it"], a=res[0], b=res[1], c=res[2], d=res[3], t=tol,
+                ),
+                lambda: None,
+            )
         return dict(
             sol=sol, old=sol, aux=aux, lam=lam,
             it=st["it"] + 1, done=converged,
+            res=res,
         )
 
     st = jax.lax.while_loop(cond, body, state)
+    if return_info:
+        info = dict(
+            iterations=st["it"],
+            converged=st["done"],
+            d_change=st["res"][0],
+            d_aux=st["res"][1:],
+        )
+        return st["sol"], info
     return st["sol"]
 
 
@@ -114,10 +148,22 @@ def transform_palette(palette_orig, palette_target, transport):
     return palette_new / (sum_gamma + 1e-10)[:, None]
 
 
-def compute_permutation(w1, w2):
+def compute_permutation(w1, w2, verbose: bool = False):
     """Transform W2 to match W1 via OT (reference optimal_transport.py:151-162).
 
-    Returns an array with W1's row count and W2's feature space.
+    Returns an array with W1's row count and W2's feature space.  With
+    ``verbose`` the solver's convergence diagnostics are printed (reference
+    optimal_transport.py:119-125 equivalent).
     """
-    plan = ot_admm(jnp.asarray(w1, jnp.float32), jnp.asarray(w2, jnp.float32))
+    plan, info = ot_admm(
+        jnp.asarray(w1, jnp.float32), jnp.asarray(w2, jnp.float32),
+        verbose=verbose, return_info=True,
+    )
+    if verbose:
+        print(
+            f"OT ADMM: {int(info['iterations'])} iterations, "
+            f"converged={bool(info['converged'])}, "
+            f"d_change={float(info['d_change']):.3e}, "
+            f"d_aux={[f'{float(v):.3e}' for v in info['d_aux']]}"
+        )
     return np.asarray(transform_palette(w1, w2, plan))

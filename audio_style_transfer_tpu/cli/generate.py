@@ -32,7 +32,8 @@ def build_parser():
                    help="bfloat16 decoder weights: ~2x faster generation")
     p.add_argument("--int8", action="store_true",
                    help="int8 decoder weights (per-channel scales): halves "
-                        "the weight-streaming floor again at batch 1")
+                        "the weight-streaming floor again at batch 1 "
+                        "(mutually exclusive with --bf16)")
     return p
 
 
@@ -59,9 +60,13 @@ def discover_files(source_path: str, npy_only: bool = False):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if not args.save_path:
         raise RuntimeError("Must specify a save_path.")
+    if args.bf16 and args.int8:
+        parser.error("--bf16 and --int8 are mutually exclusive "
+                     "(int8 fixes the decoder weight storage format itself)")
 
     from audio_style_transfer_tpu.ckpt import load_pretrained
     from audio_style_transfer_tpu.generate import encode, load_batch, synthesize

@@ -99,6 +99,12 @@ def get_dir(directory: str, args) -> str:
         if k not in ("precision", "no_artifacts", "random_init", "fused",
                      "warm_start")
     }
+    # A warm-start run has different per-epoch eval accounting than the
+    # reference-faithful cold-restart run of the same config — name its
+    # artifact directory apart so the two don't overwrite each other's
+    # per-epoch wavs/figures. Cold runs keep the reference-identical path.
+    if getattr(args, "warm_start", False):
+        kwargs["warm"] = True
     return gt_s_path(crt_t_fol(directory), **kwargs)
 
 

@@ -261,6 +261,12 @@ def synthesize(
     """
     assert params is not None, "synthesize requires a params pytree"
     cfg = cfg or WaveNetAEConfig()
+    if quantize is not None and dtype is not None:
+        raise ValueError(
+            f"dtype={dtype} and quantize={quantize!r} are mutually exclusive: "
+            "int8 quantization fixes the storage format of the large decoder "
+            "matrices itself (pass exactly one)"
+        )
     if quantize == "int8":
         params = quantize_params_int8(params)
     elif quantize is not None:

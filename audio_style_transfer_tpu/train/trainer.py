@@ -199,6 +199,32 @@ class Trainer:
         """One synchronous DP step. ``wav`` is the global batch [B, T]."""
         return self._step_fn(state, jnp.asarray(wav, jnp.float32))
 
+    # ------------------------------------------------------------------ #
+    # Evaluation under the EMA shadow weights. The reference evaluates the
+    # EMA'd variables (tf.train.ExponentialMovingAverage restored through
+    # slim's variables_to_restore, nsynth/wavenet/train.py:101-102) — the
+    # shadow is the model you ship, not the raw Adam iterate.
+    # ------------------------------------------------------------------ #
+
+    def eval_params(self, state: TrainState, ema: bool = True) -> Params:
+        """The weights evaluation/serving should use (EMA shadow by default)."""
+        return state["ema"] if ema else state["params"]
+
+    def evaluate(self, state: TrainState, wav: np.ndarray,
+                 ema: bool = True) -> float:
+        """Mean NLL of a batch under the eval weights, one jitted program."""
+        if not hasattr(self, "_eval_fn"):
+            model_cfg = self.model_cfg
+
+            def _nll(params, wav):
+                return forward(params, {"wav": wav}, model_cfg)["loss"]
+
+            self._eval_fn = jax.jit(_nll)
+        return float(
+            self._eval_fn(self.eval_params(state, ema=ema),
+                          jnp.asarray(wav, jnp.float32))
+        )
+
     def run_steps(self, state: TrainState, wavs: np.ndarray):
         """K synchronous DP steps in ONE device call (wavs [K, B, T]).
 

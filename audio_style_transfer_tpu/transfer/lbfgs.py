@@ -392,6 +392,10 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
         done=jnp.array(False),
         ok=jnp.array(False),
         f=f0, dphi=dphi0, g=g0,
+        # Best raw-f evaluated point so far, for non-Wolfe-exit parking
+        # (dcsrch parks at stx on its bracket warnings; the best evaluated
+        # trial is never worse than stx in raw f).
+        a_best=zero, f_best=f0, g_best=g0,
     )
 
     def cond(st):
@@ -457,6 +461,7 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
         stp_new = jnp.where(give_up, stx, stp_new)
 
         done = converged | warn
+        improved = f < st["f_best"]
         return dict(
             stp=jnp.where(done, stp, stp_new),
             a_eval=stp,
@@ -470,19 +475,27 @@ def _mt_line_search(value_and_grad_1d, f0, g0, dphi0, a_init, opts: LBFGSOptions
             done=done,
             ok=st["ok"] | converged,
             f=f, dphi=dphi, g=g,
+            a_best=jnp.where(improved, stp, st["a_best"]),
+            f_best=jnp.where(improved, f, st["f_best"]),
+            g_best=jnp.where(improved, g, st["g_best"]),
         )
 
     st = jax.lax.while_loop(cond, body, init)
-    # Non-Wolfe exits still move if the last evaluated point improves f0
-    # (monotone safeguard). ``a_eval`` — not ``stp`` — is the step the
-    # state's f/g were evaluated at: when maxls exhausts the loop, stp
-    # already holds the NEXT (never-evaluated) trial, and returning it
+    # Wolfe convergence accepts the converged trial (``a_eval`` — not
+    # ``stp`` — is the step the state's f/g were evaluated at: on exit stp
+    # may already hold the NEXT, never-evaluated trial, and returning it
     # would pair x + a*d with stale f/g and corrupt the (s, y) curvature
-    # pair built from them (found in review).
-    accept = st["ok"] | (st["f"] < f0)
-    a = jnp.where(accept, st["a_eval"], 0.0)
-    f = jnp.where(accept, st["f"], f0)
-    g = jnp.where(accept, st["g"], g0)
+    # pair built from them). On maxls exhaustion or a dcsrch warning exit,
+    # park at the BEST evaluated point rather than the last one — dcsrch
+    # parks at stx (dcsrch.f "let stp be the best point obtained"), and an
+    # earlier trial that improved f0 must not be discarded for a worse
+    # final trial (advisor finding, round 2).
+    wolfe = st["ok"]
+    best_improves = st["f_best"] < f0
+    accept = wolfe | best_improves
+    a = jnp.where(wolfe, st["a_eval"], jnp.where(best_improves, st["a_best"], 0.0))
+    f = jnp.where(wolfe, st["f"], jnp.where(best_improves, st["f_best"], f0))
+    g = jnp.where(wolfe, st["g"], jnp.where(best_improves, st["g_best"], g0))
     return a, f, g, st["n_evals"], accept
 
 

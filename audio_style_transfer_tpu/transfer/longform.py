@@ -132,8 +132,12 @@ def transfer_longform(
             pad_to = group if k > group else -(-len(pc) // n_dev) * n_dev
             pad = pad_to - len(pc)
             if pad:
-                pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
-                ph = np.concatenate([ph, np.repeat(ph[-1:], pad, axis=0)])
+                # jnp (not np) so the device-resident targets from
+                # _window_targets stay on device — np.concatenate here
+                # forced a device->host->device round trip per window
+                # group, undoing the tunnel-traffic optimization above.
+                pc = jnp.concatenate([pc, jnp.repeat(pc[-1:], pad, axis=0)])
+                ph = jnp.concatenate([ph, jnp.repeat(ph[-1:], pad, axis=0)])
             r = engine.optimize_batch(pc, ph, epochs=epochs, mesh=mesh)
             if pad:
                 r = {key: v[: len(v) - pad] for key, v in r.items()}

@@ -50,11 +50,24 @@ def main():
     parser.add_argument("--fused", dest="fused", action="store_true", default=True,
                         help="Pallas fused encoder blocks (default on)")
     parser.add_argument("--no_fused", dest="fused", action="store_false")
-    parser.add_argument("--suite", action="store_true",
-                        help="also run gatys / full-stack / batched configs")
-    parser.add_argument("--longform", action="store_true",
+    parser.add_argument("--suite", dest="suite", action="store_true",
+                        default=True,
+                        help="also run gatys / full-stack / batched configs "
+                             "(default on, so the driver-recorded JSON "
+                             "captures the whole BASELINE suite)")
+    parser.add_argument("--no_suite", dest="suite", action="store_false")
+    parser.add_argument("--longform", dest="longform", action="store_true",
+                        default=True,
                         help="also run the 60-s chunked+OT long-form config "
-                             "(BASELINE config 5; ~5 min single-chip)")
+                             "(BASELINE config 5; default on)")
+    parser.add_argument("--no_longform", dest="longform", action="store_false")
+    parser.add_argument("--strict", dest="strict", action="store_true",
+                        default=True,
+                        help="fail loudly if the Pallas fused encoder cannot "
+                             "compile instead of silently benchmarking the "
+                             "XLA fallback (default on: a Mosaic regression "
+                             "must not ship fallback numbers as if fused)")
+    parser.add_argument("--no_strict", dest="strict", action="store_false")
     parser.add_argument("--warm_start", action="store_true",
                         help="carry L-BFGS curvature memory across epochs "
                              "(continuation mode; same final loss, ~4x "
@@ -98,6 +111,11 @@ def main():
     except Exception as e:
         import sys
 
+        if args.strict and spec.fused_encoder:
+            raise RuntimeError(
+                "fused-encoder setup failed under --strict (pass "
+                "--no_strict to benchmark the XLA fallback)"
+            ) from e
         print(f"WARNING: fused-encoder setup failed ({e!r}); "
               "falling back to XLA convs", file=sys.stderr)
         spec = _dc.replace(spec, fused_encoder=False)
@@ -128,6 +146,11 @@ def main():
         except Exception as e:
             import sys
 
+            if args.strict and spec.fused_encoder:
+                raise RuntimeError(
+                    "fused-encoder compile failed under --strict (pass "
+                    "--no_strict to benchmark the XLA fallback)"
+                ) from e
             print(f"WARNING: fused-encoder compile failed ({e!r}); "
                   "falling back to XLA convs", file=sys.stderr)
             spec = _dc.replace(spec, fused_encoder=False)
@@ -159,7 +182,15 @@ def main():
     if args.suite:
         out["suite"] = run_suite(params, args, content, style)
     if args.longform:
-        out["longform"] = run_longform(params, args)
+        # A longform failure must not cost the whole benchmark record —
+        # report the error in the JSON instead (strict mode still guards
+        # the Pallas path inside via the engine constructors).
+        try:
+            out["longform"] = run_longform(params, args)
+        except Exception as e:  # pragma: no cover - defensive
+            if args.strict:
+                raise
+            out["longform"] = {"error": repr(e)}
 
     print(json.dumps(out))
 
@@ -188,6 +219,11 @@ def run_longform(params, args):
         import dataclasses as _dc
         import sys
 
+        if args.strict and spec.fused_encoder:
+            raise RuntimeError(
+                "fused-encoder setup failed under --strict (pass "
+                "--no_strict to benchmark the XLA fallback)"
+            ) from e
         print(f"WARNING: fused-encoder setup failed ({e!r}); longform "
               "falling back to XLA convs", file=sys.stderr)
         spec = _dc.replace(spec, fused_encoder=False)
