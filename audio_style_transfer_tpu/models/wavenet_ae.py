@@ -54,6 +54,11 @@ class WaveNetAEConfig:
     # the encoder trunk. Transfer-only: the fused VJP produces waveform
     # gradients with frozen weights. Requires a TPU backend.
     fused_encoder: bool = False
+    # Use the CHAINED Pallas trunk (ops/pallas_chain.py): groups of
+    # consecutive residual blocks per kernel launch, int8 relu-mask
+    # stashing, 4-matmul/layer backward. Takes precedence over
+    # fused_encoder when set; requires a TPU backend.
+    chain_encoder: bool = False
     # Rematerialize residual blocks in the backward pass (jax.checkpoint).
     # Essential for training at the reference's batch geometry: without it
     # the width-512 decoder keeps ~40 GB of gated activations alive on the
@@ -135,6 +140,7 @@ def encoder_trunk(
     x_quantized,
     cfg: WaveNetAEConfig | None = None,
     valid_mask=None,
+    needed_taps=None,
 ):
     """Encoder taps *without* the hop pooling (works on any time length).
 
@@ -148,6 +154,10 @@ def encoder_trunk(
         state so each conv sees exactly the zeros that single-device SAME
         padding would have produced (zero input alone is NOT enough — biases
         make activations over padding nonzero).
+      needed_taps: optional iterable of trunk-layer ids (0..29) whose taps
+        the caller will consume. Only honored by the chained-kernel path,
+        which then skips writing unneeded taps to HBM: the corresponding
+        ``extracts`` entries are None. Other paths return every tap.
 
     Returns the full 32-entry ``extracts`` list (see module docstring).
     """
@@ -161,6 +171,14 @@ def encoder_trunk(
         return e if valid_mask is None else e * valid_mask
 
     enc = masked(_apply(params, "ae_startconv", x_scaled, causal=False, dtype=dtype))
+
+    if cfg.chain_encoder and valid_mask is None:
+        extracts = _chain_trunk_extracts(params, enc, cfg, needed_taps)
+        if extracts is not None:
+            bottleneck = _apply(params, "ae_bottleneck", extracts[-1], dtype=dtype)
+            extracts.append(bottleneck)
+            return extracts
+
     extracts = []
     use_fused = cfg.fused_encoder and valid_mask is None and enc.shape[0] == 1
     for k in range(1, cfg.ae_num_layers + 1):
@@ -209,6 +227,50 @@ def encoder_trunk(
     return extracts
 
 
+def _chain_trunk_extracts(params, enc, cfg: WaveNetAEConfig, needed_taps):
+    """Chained-kernel trunk path (ops/pallas_chain.py).
+
+    Returns the 31-entry prefix of ``extracts`` (taps 0..29, with None in
+    place of taps the caller does not need — they are never written to
+    HBM — plus the enc_ alias), or None when the geometry admits no
+    feasible chain plan (the caller then falls back to the unfused path).
+    """
+    from audio_style_transfer_tpu.ops.pallas_chain import (
+        fused_trunk,
+        plan_groups,
+        stack_trunk_weights,
+    )
+
+    b, t, c = enc.shape
+    n = cfg.ae_num_layers
+    dils = tuple(cfg.ae_dilation(k) for k in range(n))
+    # ids 30 (enc_ alias) and 31 (bottleneck) both derive from tap 29.
+    needed = (
+        set(range(n))
+        if needed_taps is None
+        else {min(int(i), n - 1) for i in needed_taps}
+    )
+    emit = tuple(sorted(needed | {n - 1}))
+    try:
+        plan_groups(dils, t, c, jnp.dtype(cfg.compute_dtype).itemsize, emit)
+    except ValueError:
+        return None
+    dtype = cfg.compute_dtype
+    wd, bd, wr, br = (
+        a.astype(dtype) for a in stack_trunk_weights(params, n)
+    )
+    if b == 1:
+        taps = [tp[None] for tp in fused_trunk(enc[0], wd, bd, wr, br, dils, emit)]
+    else:
+        taps = list(
+            jax.vmap(lambda z: fused_trunk(z, wd, bd, wr, br, dils, emit))(enc)
+        )
+    tap_map = dict(zip(emit, taps))
+    extracts = [tap_map.get(k) for k in range(n)]
+    extracts.append(extracts[-1])  # enc_ duplicate tap (model.py:118-119)
+    return extracts
+
+
 def receptive_field_radius(cfg: WaveNetAEConfig | None = None) -> int:
     """One-sided receptive field of the encoder trunk in samples.
 
@@ -223,12 +285,19 @@ def receptive_field_radius(cfg: WaveNetAEConfig | None = None) -> int:
     return r
 
 
-def encoder_extracts(params: Params, x_quantized, cfg: WaveNetAEConfig | None = None):
+def encoder_extracts(
+    params: Params,
+    x_quantized,
+    cfg: WaveNetAEConfig | None = None,
+    needed_taps=None,
+):
     """Run the non-causal temporal encoder, returning all feature taps.
 
     Args:
       x_quantized: [batch, time] values in mu-law quantized space [-128, 128]
         (the transfer fork feeds these directly, reference model.py:80).
+      needed_taps: see :func:`encoder_trunk` — only the chained-kernel path
+        honors it (entries for unneeded taps become None).
 
     Returns:
       (extracts, encoding): extracts is the 32-entry tap list described in
@@ -236,7 +305,7 @@ def encoder_extracts(params: Params, x_quantized, cfg: WaveNetAEConfig | None = 
       [batch, time, bottleneck]); encoding is [batch, time/hop, bottleneck].
     """
     cfg = cfg or WaveNetAEConfig()
-    extracts = encoder_trunk(params, x_quantized, cfg)
+    extracts = encoder_trunk(params, x_quantized, cfg, needed_taps=needed_taps)
     encoding = pool1d(extracts[-1], cfg.ae_hop_length, mode="avg")
     return extracts, encoding
 

@@ -1,0 +1,775 @@
+"""Chained Pallas kernels for the WaveNet encoder trunk.
+
+The per-layer fused block (ops/pallas_encoder.py) pays one HBM read +
+write of a [T, C] activation per layer per direction — at the round-2
+operating point the 30-layer transfer eval ran at ~64% of the MXU
+roofline with most of the gap in exactly that traffic (BENCH_NOTES.md;
+cost driver reference model.py:96-116).  This module chains GROUPS of
+consecutive residual blocks into single kernel launches:
+
+  * forward: one launch per group; the group input is DMA'd once with a
+    halo covering the group's receptive field, every intermediate
+    activation lives only in VMEM (shrinking valid windows per layer),
+    and only the taps a caller asks for are written back to HBM;
+  * relu masks: the forward stashes, per layer, the gate mask
+    ``(y_j > 0)`` and the output mask ``(x_{j+1} > 0)`` as int8 arrays —
+    the backward then needs NO activation recompute and never reads
+    activations at all: 4 matmuls per layer (dv + three transposed conv
+    taps), the algorithmic minimum for this block's waveform gradient;
+  * backward: one launch per group; the output cotangent is DMA'd once
+    with the group halo, the cotangent chain stays in VMEM, and per-tap
+    loss cotangents (style gram / content) are injected at the right
+    layer in-kernel.
+
+The custom VJP sits at the WHOLE-TRUNK level (:func:`fused_trunk`): its
+outputs are only the taps the transfer loss consumes, so at batch > 1
+the arrays crossing the XLA<->Pallas boundary are plain [B, T, C] taps —
+the strided gram-cotangent layout that made the per-layer fused path
+lose to XLA convs at B=8 (round-2 finding, BENCH_NOTES.md) cannot arise.
+
+Group partitioning is a small dynamic program (:func:`plan_groups`):
+a dilation late in its group costs forward halo waste, early costs
+backward halo waste, and every extra group costs two kernel launches;
+the DP balances the three under the scoped-VMEM budget.
+
+Numerics match the unfused XLA composition bit-exactly in f32 (same
+per-row MXU accumulation, same op order as ops/pallas_encoder.py —
+asserted in tests/test_pallas_chain.py) and to bf16 rounding otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# HBM slices (manual halo DMAs) must start at sublane-tile multiples; the
+# int8 mask arrays have (32, 128) tiling, so DMA halos are 32-aligned.
+_DMA_ALIGN = 32
+# In-VMEM window reads only need 8-row alignment (f32 tiling; bf16 window
+# reads at 8-row offsets have been exercised by the per-layer kernels
+# since round 1).
+_REF_ALIGN = 8
+
+_SCOPED_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _al(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+# --------------------------------------------------------------------- #
+# Group planning
+# --------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupPlan:
+    """Static geometry of one chained-kernel group.
+
+    k0: global index of the first layer in the group.
+    dils: dilations of the K layers.
+    tile: time-tile per grid program (divides clip_rows).
+    halo: forward input halo H (32-aligned), halo <= tile.
+    suffix: A_j — half-extent of the window layer j is computed on
+      (tile + 2*A_j rows; A[K-1] == 0).
+    prefix: N_j, j=0..K — backward half-extents (N_0 == 0; dx_j is
+      produced on tile + 2*N_j rows; incoming dx_K is loaded with N_K).
+    emits: local layer indices whose output tap is written to HBM
+      (K-1 is always present — the group output feeds the next group).
+    """
+
+    k0: int
+    dils: tuple
+    tile: int
+    halo: int
+    suffix: tuple
+    prefix: tuple
+    emits: tuple
+
+    @property
+    def k(self) -> int:
+        return len(self.dils)
+
+
+def _suffix_halos(dils):
+    a = [0] * len(dils)
+    for j in range(len(dils) - 1, 0, -1):
+        a[j - 1] = _al(a[j] + dils[j], _REF_ALIGN)
+    return tuple(a), _al(a[0] + dils[0], _DMA_ALIGN)
+
+
+def _prefix_halos(dils):
+    n = [0]
+    for d in dils:
+        n.append(_al(n[-1] + d, _DMA_ALIGN))
+    return tuple(n)
+
+
+def _fwd_vmem(tile, halo, c, s, k):
+    ext = tile + 2 * halo
+    return (
+        2 * ext * c * s            # input DMA ping-pong slots
+        + 2 * ext * c * s          # chain ping-pong
+        + 2 * 2 * tile * c         # int8 mask staging (x + y)
+        + ext * c * (12 + 2 * s)   # y/z f32 + tap values in flight
+        + k * 4 * c * c * s        # stacked weights
+    )
+
+
+def _bwd_vmem(tile, nk, c, s, k):
+    ext = tile + 2 * nk
+    return (
+        ext * c * s                # dx slot
+        + 2 * ext * c * s          # carry ping-pong
+        + 2 * 2 * ext * c          # int8 mask slots (x + y, ping-pong)
+        + 2 * ext * c * s          # tap-cotangent slots
+        + ext * c * (12 + 2 * s)
+        + k * 4 * c * c * s
+    )
+
+
+# Per-launch fixed cost in matmul-rows (one [row, C] x [C, C] MXU pass);
+# ~4 us of launch overhead at C=128.  Tuned on the round-3 measurements.
+_LAUNCH_ROWS = 24000
+_FWD_MM = 4
+_BWD_MM = 4
+
+
+def _group_cost(dils, clip_rows, c, itemsize):
+    """(cost, tile) for one candidate group, or None if infeasible."""
+    suffix, halo = _suffix_halos(dils)
+    prefix = _prefix_halos(dils)
+    nk = prefix[-1]
+    tile = 1
+    while tile * 2 <= min(clip_rows, 4096) and clip_rows % (tile * 2) == 0:
+        tile *= 2
+    best = None
+    while tile >= 128:
+        if (
+            halo <= tile
+            and nk <= tile
+            and _fwd_vmem(tile, halo, c, itemsize, len(dils))
+            <= _SCOPED_VMEM_BUDGET
+            and _bwd_vmem(tile, nk, c, itemsize, len(dils))
+            <= _SCOPED_VMEM_BUDGET
+        ):
+            waste = sum(
+                2 * (_FWD_MM * a + _BWD_MM * n)
+                for a, n in zip(suffix, prefix[:-1])
+            )
+            cost = (clip_rows // tile) * waste + 2 * _LAUNCH_ROWS
+            if best is None or cost < best[0]:
+                best = (cost, tile)
+        tile //= 2
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int, emit: tuple):
+    """Exact-DP partition of the layer stack into chained groups."""
+    n = len(dils)
+    best = [None] * (n + 1)
+    best[n] = (0.0, 0)
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, n + 1):
+            if best[j] is None:
+                continue
+            cand = _group_cost(dils[i:j], clip_rows, c, itemsize)
+            if cand is None:
+                continue
+            total = cand[0] + best[j][0]
+            if best[i] is None or total < best[i][0]:
+                best[i] = (total, j - i)
+    if best[0] is None:
+        raise ValueError(
+            f"no feasible chain partition for dilations={dils} at "
+            f"clip_rows={clip_rows}"
+        )
+    plans, i = [], 0
+    while i < n:
+        k = best[i][1]
+        g = dils[i : i + k]
+        suffix, halo = _suffix_halos(g)
+        prefix = _prefix_halos(g)
+        _, tile = _group_cost(g, clip_rows, c, itemsize)
+        emits = tuple(sorted({j - i for j in emit if i <= j < i + k} | {k - 1}))
+        plans.append(GroupPlan(i, g, tile, halo, suffix, prefix, emits))
+        i += k
+    return plans
+
+
+# --------------------------------------------------------------------- #
+# In-kernel helpers
+# --------------------------------------------------------------------- #
+
+
+def _halo_load(x_ref, scratch, sems, i, tile, h, cp, start):
+    """Start/wait the 3-piece DMA filling scratch[0 : tile+2h] with rows
+    [i*tile - h, (i+1)*tile + h) of the unpadded ``x_ref`` — zero-filled
+    outside the clip.  (pallas_encoder's scheme, plus h == 0 support.)"""
+    pos = jax.lax.rem(i, cp)
+    center = pltpu.make_async_copy(
+        x_ref.at[pl.ds(i * tile, tile)], scratch.at[pl.ds(h, tile)], sems.at[0]
+    )
+    (center.start if start else center.wait)()
+    if h == 0:
+        return
+
+    def left():
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(i * tile - h, _DMA_ALIGN), h)],
+            scratch.at[pl.ds(0, h)],
+            sems.at[1],
+        )
+
+    def right():
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of((i + 1) * tile, _DMA_ALIGN), h)],
+            scratch.at[pl.ds(h + tile, h)],
+            sems.at[2],
+        )
+
+    if start:
+        @pl.when(pos == 0)
+        def _zl():
+            scratch[0:h] = jnp.zeros((h, scratch.shape[1]), scratch.dtype)
+
+        @pl.when(pos > 0)
+        def _l():
+            left().start()
+
+        @pl.when(pos == cp - 1)
+        def _zr():
+            scratch[h + tile : 2 * h + tile] = jnp.zeros(
+                (h, scratch.shape[1]), scratch.dtype
+            )
+
+        @pl.when(pos < cp - 1)
+        def _r():
+            right().start()
+    else:
+        @pl.when(pos > 0)
+        def _lw():
+            left().wait()
+
+        @pl.when(pos < cp - 1)
+        def _rw():
+            right().wait()
+
+
+def _tap3(r, off: int, d: int, n: int):
+    """Rows (off-d, off, off+d), n long, of the in-register value ``r``.
+    d < 8 shifts go through pltpu.roll in f32 (Mosaic's rotate is
+    32-bit-only); d >= 8 offsets are 8-aligned by the plan."""
+    center = jax.lax.slice_in_dim(r, off, off + n)
+    if d < 8:
+        rows = r.shape[0]
+        r32 = r if r.dtype == jnp.float32 else r.astype(jnp.float32)
+        left = jax.lax.slice_in_dim(pltpu.roll(r32, d, 0), off, off + n)
+        right = jax.lax.slice_in_dim(pltpu.roll(r32, rows - d, 0), off, off + n)
+        left, right = left.astype(r.dtype), right.astype(r.dtype)
+    else:
+        left = jax.lax.slice_in_dim(r, off - d, off - d + n)
+        right = jax.lax.slice_in_dim(r, off + d, off + d + n)
+    return left, center, right
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t(a, b):
+    """a @ b.T without materializing the transpose."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _clip_mask(w: int, lead: int, pos, tile: int, cp: int, dtype):
+    """[w, 1] multiplicative mask: 1 where window row q (global in-clip
+    row pos*tile - lead + q) lies inside the clip, else 0."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    g = pos * tile - lead + q
+    return ((g >= 0) & (g < cp * tile)).astype(dtype)
+
+
+# --------------------------------------------------------------------- #
+# Forward group kernel
+# --------------------------------------------------------------------- #
+
+
+def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
+    k, tile, h = plan.k, plan.tile, plan.halo
+    suffix = plan.suffix
+    n_taps = len(plan.emits)
+
+    x_ref, wd_ref, bd_ref, wr_ref, br_ref = refs[:5]
+    tap_outs = refs[5 : 5 + n_taps]
+    xm_outs = refs[5 + n_taps : 5 + n_taps + k]
+    ym_outs = refs[5 + n_taps + k : 5 + n_taps + 2 * k]
+    slots, chain, xm_stage, ym_stage, in_sems, out_sems = refs[5 + n_taps + 2 * k :]
+
+    i = pl.program_id(0)
+    pos = jax.lax.rem(i, cp)
+    parity = jax.lax.rem(i, 2)
+    even = parity == 0
+
+    @pl.when(i == 0)
+    def _first():
+        _halo_load(x_ref, slots.at[0], in_sems.at[0], i, tile, h, cp, True)
+
+    @pl.when((i + 1 < nprog) & even)
+    def _pf_odd():
+        _halo_load(x_ref, slots.at[1], in_sems.at[1], i + 1, tile, h, cp, True)
+
+    @pl.when((i + 1 < nprog) & ~even)
+    def _pf_even():
+        _halo_load(x_ref, slots.at[0], in_sems.at[0], i + 1, tile, h, cp, True)
+
+    @pl.when(even)
+    def _w_even():
+        _halo_load(x_ref, slots.at[0], in_sems.at[0], i, tile, h, cp, False)
+
+    @pl.when(~even)
+    def _w_odd():
+        _halo_load(x_ref, slots.at[1], in_sems.at[1], i, tile, h, cp, False)
+
+    def write(dst_ref, src_ref, sem):
+        return pltpu.make_async_copy(
+            src_ref, dst_ref.at[pl.ds(i * tile, tile)], sem
+        )
+
+    pending = {}  # (kind, slot) -> (dst_ref, src_ref, sem)
+
+    def start_write(kind, slot, dst_ref, src_ref, sem):
+        assert (kind, slot) not in pending
+        write(dst_ref, src_ref, sem).start()
+        pending[(kind, slot)] = (dst_ref, src_ref, sem)
+
+    def wait_write(kind, slot):
+        if (kind, slot) in pending:
+            write(*pending.pop((kind, slot))).wait()
+
+    x_in = slots[parity]  # [ext, C] value; data at [0, tile + 2h)
+
+    for j in range(k):
+        d = plan.dils[j]
+        a_prev = h if j == 0 else suffix[j - 1]
+        a_j = suffix[j]
+        w_j = tile + 2 * a_j
+        slot = j % 2
+
+        base = (
+            jax.lax.slice_in_dim(x_in, h - a_prev, h + tile + a_prev)
+            if j == 0
+            else chain[(j - 1) % 2, pl.ds(h - a_prev, tile + 2 * a_prev)]
+        )
+        r = jnp.maximum(base, jnp.zeros((), base.dtype))
+        off = a_prev - a_j
+        left, cen, right = _tap3(r, off, d, w_j)
+        y = _dot(left, wd_ref[j, 0])
+        y += _dot(cen, wd_ref[j, 1])
+        y += _dot(right, wd_ref[j, 2])
+        y = y + bd_ref[j][None, :]
+        dtype = chain.dtype
+        v = jnp.maximum(y, 0.0).astype(dtype)
+        z = _dot(v, wr_ref[j]) + br_ref[j][None, :]
+        out = jax.lax.slice_in_dim(base, off, off + w_j) + z.astype(dtype)
+        # SAME-padding fidelity: rows outside the clip stay zero (bias
+        # adds would otherwise leak into later layers' halo taps).
+        out = out * _clip_mask(w_j, a_j, pos, tile, cp, dtype)
+
+        wait_write("tap", slot)
+        chain[slot, pl.ds(h - a_j, w_j)] = out
+
+        wait_write("ym", slot)
+        ym_stage[slot] = (
+            jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
+        ).astype(jnp.int8)
+        start_write("ym", slot, ym_outs[j], ym_stage.at[slot],
+                    out_sems.at[slot, 0])
+
+        wait_write("xm", slot)
+        xm_stage[slot] = (
+            jax.lax.slice_in_dim(out, a_j, a_j + tile).astype(jnp.float32)
+            > 0.0
+        ).astype(jnp.int8)
+        start_write("xm", slot, xm_outs[j], xm_stage.at[slot],
+                    out_sems.at[slot, 1])
+
+        if j in plan.emits:
+            start_write("tap", slot, tap_outs[plan.emits.index(j)],
+                        chain.at[slot, pl.ds(h, tile)], out_sems.at[slot, 2])
+
+    for key in list(pending):
+        wait_write(*key)
+
+
+def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
+    """One forward group launch.
+
+    Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
+      bd [K, C]; wr [K, C, C]; br [K, C].
+    Returns: (taps, xmasks, ymasks) — taps[j] for j in plan.emits
+      ([-1] is the group output), xmasks[j] == (x_{k0+j+1} > 0) int8,
+      ymasks[j] == (y_{k0+j} > 0) int8, all [rows, C].
+    """
+    rows, c = x.shape
+    assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
+    tile, h = plan.tile, plan.halo
+    ext = tile + 2 * h
+    nprog = rows // tile
+    cp = clip_rows // tile
+    n_taps = len(plan.emits)
+    dtype = x.dtype
+
+    kernel = functools.partial(_fwd_group_kernel, plan, cp, nprog)
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
+        + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * (2 * plan.k)
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_taps + 2 * plan.k),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, c), dtype),       # input slots
+            pltpu.VMEM((2, ext, c), dtype),       # chain ping-pong
+            pltpu.VMEM((2, tile, c), jnp.int8),   # xmask staging
+            pltpu.VMEM((2, tile, c), jnp.int8),   # ymask staging
+            pltpu.SemaphoreType.DMA((2, 3)),      # input halo sems
+            pltpu.SemaphoreType.DMA((2, 3)),      # write sems [slot, kind]
+        ],
+    )(x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype), br.astype(f32))
+    taps = outs[:n_taps]
+    xmasks = outs[n_taps : n_taps + plan.k]
+    ymasks = outs[n_taps + plan.k :]
+    return taps, xmasks, ymasks
+
+
+# --------------------------------------------------------------------- #
+# Backward group kernel
+# --------------------------------------------------------------------- #
+
+
+def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
+                      *refs):
+    k, tile = plan.k, plan.tile
+    prefix = plan.prefix
+    nk = prefix[-1]
+
+    dx_ref, wd_ref, wr_ref = refs[:3]
+    xm_refs = refs[3 : 3 + k]
+    ym_refs = refs[3 + k : 3 + 2 * k]
+    g_refs = refs[3 + 2 * k : 3 + 2 * k + len(g_locals)]
+    out_ref = refs[3 + 2 * k + len(g_locals)]
+    (dx_slot, carry, xm_slots, ym_slots, g_slots, dx_sems, xm_sems, ym_sems,
+     g_sems, out_sem) = refs[4 + 2 * k + len(g_locals) :]
+
+    i = pl.program_id(0)
+
+    def layer_loads(s, start):
+        j = k - 1 - s
+        slot = s % 2
+        _halo_load(xm_refs[j], xm_slots.at[slot], xm_sems.at[slot], i, tile,
+                   prefix[j], cp, start)
+        _halo_load(ym_refs[j], ym_slots.at[slot], ym_sems.at[slot], i, tile,
+                   prefix[j + 1], cp, start)
+        if j in g_locals:
+            _halo_load(g_refs[g_locals.index(j)], g_slots.at[slot],
+                       g_sems.at[slot], i, tile, prefix[j + 1], cp, start)
+
+    _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, True)
+    layer_loads(0, True)
+    _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, False)
+
+    dtype = carry.dtype
+    for s in range(k):
+        j = k - 1 - s
+        d = plan.dils[j]
+        slot = s % 2
+        n_j, n_j1 = prefix[j], prefix[j + 1]
+        q = _al(n_j + d, _REF_ALIGN)
+        w_dy = tile + 2 * q
+        w_out = tile + 2 * n_j
+
+        if s + 1 < k:
+            layer_loads(s + 1, True)
+        layer_loads(s, False)
+
+        # dx_{j+1} lives at carry rows [nk - n_{j+1}, nk + tile + n_{j+1}).
+        if s == 0:
+            dxe = dx_slot[pl.ds(nk - n_j1, tile + 2 * n_j1)]
+        else:
+            dxe = carry[(s - 1) % 2, pl.ds(nk - n_j1, tile + 2 * n_j1)]
+        if j in g_locals:
+            dxe = dxe + g_slots[slot, pl.ds(0, tile + 2 * n_j1)]
+
+        dv = _dot_t(jax.lax.slice_in_dim(dxe, n_j1 - q, n_j1 - q + w_dy),
+                    wr_ref[j])
+        ym = jax.lax.slice_in_dim(
+            ym_slots[slot], n_j1 - q, n_j1 - q + w_dy
+        ).astype(jnp.float32)
+        dy = (dv * ym).astype(dtype)
+
+        left, cen, right = _tap3(dy, q - n_j, d, w_out)
+        dr = _dot_t(right, wd_ref[j, 0])
+        dr += _dot_t(cen, wd_ref[j, 1])
+        dr += _dot_t(left, wd_ref[j, 2])
+        xm = jax.lax.slice_in_dim(xm_slots[slot], 0, w_out).astype(jnp.float32)
+        dx_j = (
+            jax.lax.slice_in_dim(dxe, n_j1 - n_j, n_j1 - n_j + w_out)
+            + (dr * xm).astype(dtype)
+        )
+        carry[s % 2, pl.ds(nk - n_j, w_out)] = dx_j
+
+    pltpu.make_async_copy(
+        carry.at[(k - 1) % 2, pl.ds(nk, tile)],
+        out_ref.at[pl.ds(i * tile, tile)],
+        out_sem,
+    ).start()
+    pltpu.make_async_copy(
+        carry.at[(k - 1) % 2, pl.ds(nk, tile)],
+        out_ref.at[pl.ds(i * tile, tile)],
+        out_sem,
+    ).wait()
+
+
+def _bwd_group(plan: GroupPlan, dx, xmasks, ymasks, gs: dict, wd, wr,
+               clip_rows: int):
+    """One backward group launch.
+
+    Args: dx [rows, C] — cotangent of the group output x_{k0+K};
+      xmasks[j] == (x_{k0+j} > 0), ymasks[j] == (y_{k0+j} > 0) (int8,
+      note xmasks here are the LAYER-INPUT masks, shifted by one vs the
+      forward's outputs); gs maps local j -> loss cotangent of tap k0+j.
+    Returns dx0 [rows, C] — cotangent of the group input.
+    """
+    rows, c = dx.shape
+    tile = plan.tile
+    nk = plan.prefix[-1]
+    ext = tile + 2 * nk
+    nprog = rows // tile
+    cp = clip_rows // tile
+    dtype = dx.dtype
+    g_locals = tuple(sorted(gs))
+
+    kernel = functools.partial(_bwd_group_kernel, plan, cp, nprog, g_locals)
+    return pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * plan.k + len(g_locals)),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((rows, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ext, c), dtype),          # dx slot
+            pltpu.VMEM((2, ext, c), dtype),       # carry ping-pong
+            pltpu.VMEM((2, ext, c), jnp.int8),    # xmask slots
+            pltpu.VMEM((2, ext, c), jnp.int8),    # ymask slots
+            pltpu.VMEM((2, ext, c), dtype),       # tap-cotangent slots
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(dx, wd.astype(dtype), wr.astype(dtype), *xmasks, *ymasks,
+      *[gs[j] for j in g_locals])
+
+
+# --------------------------------------------------------------------- #
+# Whole-trunk op with custom VJP (and custom vmap)
+# --------------------------------------------------------------------- #
+
+
+def stack_trunk_weights(params, num_layers: int = 30):
+    """[K,3,C,C]/[K,C]/[K,C,C]/[K,C] stacks of the ae_dilatedconv/ae_res
+    weights (TF scope names, reference masked.py:141-145)."""
+    wd = jnp.stack([params[f"ae_dilatedconv_{k}"]["w"]
+                    for k in range(1, num_layers + 1)])
+    bd = jnp.stack([params[f"ae_dilatedconv_{k}"]["b"]
+                    for k in range(1, num_layers + 1)])
+    wr = jnp.stack([params[f"ae_res_{k}"]["w"][0]
+                    for k in range(1, num_layers + 1)])
+    br = jnp.stack([params[f"ae_res_{k}"]["b"]
+                    for k in range(1, num_layers + 1)])
+    return wd, bd, wr, br
+
+
+def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
+    """Run all groups; returns (taps dict by global id, xmasks, ymasks).
+
+    xmasks[j] is the INPUT mask of layer j (j = 0..K_total-1); masks are
+    int8 [rows, C].
+    """
+    c = x.shape[-1]
+    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit)
+    xmask0 = (x.astype(jnp.float32) > 0.0).astype(jnp.int8)
+    xmasks, ymasks, taps = [xmask0], [], {}
+    cur = x
+    for plan in plans:
+        k0, k = plan.k0, plan.k
+        g_taps, g_xm, g_ym = _fwd_group(
+            plan, cur, wd[k0 : k0 + k], bd[k0 : k0 + k], wr[k0 : k0 + k],
+            br[k0 : k0 + k], clip_rows,
+        )
+        for j, tap in zip(plan.emits, g_taps):
+            taps[k0 + j] = tap
+        cur = g_taps[-1]
+        xmasks.extend(g_xm)
+        ymasks.extend(g_ym)
+    # xmasks currently holds input-mask of layer 0 plus each layer's
+    # OUTPUT mask; drop the last (the trunk output's mask is never read).
+    return taps, tuple(xmasks[:-1]), tuple(ymasks)
+
+
+def _trunk_bwd_impl(dils, emit, dtaps: dict, xmasks, ymasks, wd, wr,
+                    clip_rows):
+    c = xmasks[0].shape[-1]
+    last = len(dils) - 1
+    plans = plan_groups(dils, clip_rows, c, wd.dtype.itemsize, emit)
+    dx = dtaps[last]
+    for plan in reversed(plans):
+        k0, k = plan.k0, plan.k
+        gs = {
+            j - k0: dtaps[j]
+            for j in emit
+            if k0 <= j < k0 + k and j != last
+        }
+        dx = _bwd_group(
+            plan, dx, xmasks[k0 : k0 + k], ymasks[k0 : k0 + k], gs,
+            wd[k0 : k0 + k], wr[k0 : k0 + k], clip_rows,
+        )
+    return dx
+
+
+def reference_trunk(x, wd, bd, wr, br, dils, emit):
+    """Unfused XLA oracle: same trunk, same emitted-tap tuple."""
+    from audio_style_transfer_tpu.ops.pallas_encoder import (
+        reference_encoder_block,
+    )
+
+    taps = {}
+    cur = x
+    for j, d in enumerate(dils):
+        cur = reference_encoder_block(cur, wd[j], bd[j], wr[j][None], br[j], d)
+        if j in emit:
+            taps[j] = cur
+    return tuple(taps[j] for j in sorted(taps))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_trunk(dils: tuple, emit: tuple):
+    """Build the custom-VJP (+ custom-vmap) trunk op for one geometry.
+
+    ``emit`` must contain len(dils) - 1 (the trunk output).  The returned
+    function maps (x [T, C], wd, bd, wr, br) -> tuple of emitted taps in
+    ascending layer order.
+    """
+    assert (len(dils) - 1) in emit
+    emit = tuple(sorted(emit))
+
+    @jax.custom_batching.custom_vmap
+    def fwd_b(x, wd, bd, wr, br):
+        taps, xm, ym = _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br,
+                                       x.shape[0])
+        return tuple(taps[j] for j in emit), xm, ym
+
+    @fwd_b.def_vmap
+    def _fwd_rule(axis_size, in_batched, x, wd, bd, wr, br):
+        if not in_batched[0] or any(in_batched[1:]):
+            raise NotImplementedError(
+                "fused_trunk: only the activations may be vmapped "
+                f"(got in_batched={in_batched})"
+            )
+        b, t, c = x.shape
+        taps, xm, ym = _trunk_fwd_impl(
+            dils, emit, x.reshape(b * t, c), wd, bd, wr, br, t
+        )
+        unflat = lambda a: a.reshape(b, t, c)
+        out = (
+            tuple(unflat(taps[j]) for j in emit),
+            tuple(unflat(m) for m in xm),
+            tuple(unflat(m) for m in ym),
+        )
+        return out, jax.tree.map(lambda _: True, out)
+
+    @jax.custom_batching.custom_vmap
+    def bwd_b(dtaps, xm, ym, wd, wr):
+        dx = _trunk_bwd_impl(
+            dils, emit, dict(zip(emit, dtaps)), xm, ym, wd, wr,
+            dtaps[0].shape[0],
+        )
+        return dx
+
+    @bwd_b.def_vmap
+    def _bwd_rule(axis_size, in_batched, dtaps, xm, ym, wd, wr):
+        ok_t = all(jax.tree.leaves(in_batched[0]))
+        if not ok_t or any(jax.tree.leaves(in_batched[3:])):
+            raise NotImplementedError(
+                "fused_trunk backward: cotangents/masks must be vmapped "
+                "and weights unbatched"
+            )
+        b, t, c = dtaps[0].shape
+        flat = lambda a: a.reshape(b * t, c)
+        dx = _trunk_bwd_impl(
+            dils, emit,
+            dict(zip(emit, [flat(g) for g in dtaps])),
+            tuple(flat(m) for m in xm), tuple(flat(m) for m in ym),
+            wd, wr, t,
+        )
+        return dx.reshape(b, t, c), True
+
+    @jax.custom_vjp
+    def trunk(x, wd, bd, wr, br):
+        taps, _, _ = fwd_b(x, wd, bd, wr, br)
+        return taps
+
+    def vjp_fwd(x, wd, bd, wr, br):
+        taps, xm, ym = fwd_b(x, wd, bd, wr, br)
+        return taps, (x, wd, bd, wr, br, xm, ym)
+
+    def vjp_bwd(res, dtaps):
+        x, wd, bd, wr, br, xm, ym = res
+        dx = bwd_b(tuple(dtaps), xm, ym, wd, wr)
+        # Weight cotangents via XLA recompute — DCE-pruned whenever the
+        # caller (the transfer hot path: frozen weights) does not consume
+        # them, correct when a training loss differentiates through.
+        _, pull = jax.vjp(
+            lambda wd_, bd_, wr_, br_: reference_trunk(
+                x, wd_, bd_, wr_, br_, dils, emit
+            ),
+            wd, bd, wr, br,
+        )
+        dwd, dbd, dwr, dbr = pull(tuple(dtaps))
+        return dx, dwd, dbd, dwr, dbr
+
+    trunk.defvjp(vjp_fwd, vjp_bwd)
+    return trunk
+
+
+def fused_trunk(x, wd, bd, wr, br, dils, emit):
+    """Chained-kernel encoder trunk on [T, C] (or vmapped [B, T, C])
+    activations.
+
+    Equivalent to running reference model.py:96-116's 30 residual blocks
+    and returning the taps listed in ``emit`` (ascending; must include
+    the last layer).  Waveform gradients flow through the chained Pallas
+    backward kernels; weight gradients through an XLA recompute (pruned
+    by DCE when unused).
+    """
+    emit = tuple(sorted(set(emit) | {len(dils) - 1}))
+    return _make_trunk(tuple(dils), emit)(x, wd, bd, wr, br)

@@ -53,6 +53,11 @@ class TransferSpec:
     early_stop_evals: int = 50  # epoch eval count below which the run stops
     compute_dtype: str = "float32"  # or "bfloat16" for MXU peak throughput
     fused_encoder: bool = False  # Pallas fused residual blocks (TPU only)
+    # Chained Pallas trunk (ops/pallas_chain.py): groups of layers per
+    # kernel launch + int8 mask stashing + whole-trunk VJP. None = follow
+    # fused_encoder (the chained trunk IS the fused encoder's successor);
+    # False forces the per-layer fused kernels for comparison.
+    chain_encoder: bool | None = None
     # Pallas all-pairs gram kernel (TPU only). None = follow fused_encoder.
     # Kept separate because the batched path (optimize_batch) runs XLA convs
     # but still wants the single-HBM-read gram.
@@ -85,10 +90,16 @@ class StyleTransfer:
             raise ValueError(
                 f"batch_size must be a multiple of 4096, got {spec.batch_size}"
             )
+        use_chain = (
+            spec.fused_encoder
+            if spec.chain_encoder is None
+            else spec.chain_encoder
+        )
         self.cfg = dataclasses.replace(
             cfg,
             compute_dtype=jnp.dtype(spec.compute_dtype),
             fused_encoder=spec.fused_encoder,
+            chain_encoder=use_chain,
         )
         # Pre-cast weights to the compute dtype once; otherwise every L-BFGS
         # evaluation re-casts all 30 layers inside the hot while_loop.
@@ -132,7 +143,13 @@ class StyleTransfer:
         # reads at B>1 (5.84 vs 2.17 ms/clip-eval measured at B=8), so the
         # vmapped program uses XLA convs + the Pallas gram kernel.
         batch_self = self
-        if spec.fused_encoder:
+        if use_chain:
+            # The chained trunk batches cleanly: its custom-vmap rule
+            # flattens the clips into clip-aware kernel launches, and the
+            # whole-trunk VJP keeps the gram cotangents off the
+            # XLA<->Pallas boundary (the round-2 strided-layout problem).
+            pass
+        elif spec.fused_encoder:
             # Default the vmapped path's gram to the Pallas kernel (the
             # vmapped XLA pairwise gram stops fusing), but honor an
             # explicit spec.fused_gram=False — the user may be dodging a

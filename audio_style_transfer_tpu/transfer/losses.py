@@ -50,7 +50,8 @@ def transfer_embeds(params, x_quantized, cfg: WaveNetAEConfig, spec: LossSpec):
     """(content embed, style gram) of a [1, T] quantized waveform —
     the equivalent of evaluating the reference's ``embeds_c``/``embeds_s``
     tensors (methods.py:58-76)."""
-    extracts, _ = encoder_extracts(params, x_quantized, cfg)
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+    extracts, _ = encoder_extracts(params, x_quantized, cfg, needed_taps=needed)
     c = content_embeds(extracts, spec.cont_lyr_ids, spec.cnt_channels)
     s = style_gram(
         extracts,

@@ -1,0 +1,227 @@
+"""Chained Pallas trunk vs the XLA composition (interpret mode on CPU).
+
+The chained kernels (ops/pallas_chain.py) must reproduce the unfused
+trunk bit-for-bit in f32: forward taps, waveform gradients (through the
+mask-stashed 4-matmul backward), weight gradients (XLA recompute), the
+batched/vmapped flavour, and the emit-subset plumbing the transfer loss
+uses (reference model.py:96-116 is the layer being chained).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import audio_style_transfer_tpu.ops.pallas_chain as pc
+from audio_style_transfer_tpu.ops.pallas_chain import (
+    fused_trunk,
+    plan_groups,
+    reference_trunk,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    yield
+
+
+def _inputs(t=512, c=8, n=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(t, c).astype(np.float32))
+    wd = jnp.asarray(rng.randn(n, 3, c, c).astype(np.float32) * 0.2)
+    bd = jnp.asarray(rng.randn(n, c).astype(np.float32) * 0.1)
+    wr = jnp.asarray(rng.randn(n, c, c).astype(np.float32) * 0.2)
+    br = jnp.asarray(rng.randn(n, c).astype(np.float32) * 0.1)
+    return x, wd, bd, wr, br
+
+
+def test_plan_covers_all_layers_and_respects_halos():
+    dils30 = tuple(2 ** (i % 10) for i in range(30))
+    plans = plan_groups(dils30, 16384, 128, 2, tuple(range(10)) + (29,))
+    covered = []
+    for p in plans:
+        covered.extend(range(p.k0, p.k0 + p.k))
+        assert p.halo <= p.tile
+        assert p.prefix[-1] <= p.tile
+        assert 16384 % p.tile == 0
+        assert p.k - 1 in p.emits
+    assert covered == list(range(30))
+
+
+def test_forward_matches_reference_multi_group():
+    dils = (1, 2, 4, 8)
+    x, wd, bd, wr, br = _inputs()
+    emit = (0, 1, 2, 3)
+    got = fused_trunk(x, wd, bd, wr, br, dils, emit)
+    ref = reference_trunk(x, wd, bd, wr, br, dils, emit)
+    assert len(got) == 4
+    for j, (a, b) in enumerate(zip(got, ref)):
+        # bit-exact on the TPU backend (asserted in the round-3 TPU
+        # validation run); CPU-interpret dots accumulate differently than
+        # the CPU conv oracle, so CI asserts epsilon-closeness.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"tap {j}",
+        )
+
+
+def test_forward_emit_subset():
+    dils = (1, 2, 4, 8)
+    x, wd, bd, wr, br = _inputs(seed=1)
+    got = fused_trunk(x, wd, bd, wr, br, dils, (1,))  # 3 is implied
+    ref = reference_trunk(x, wd, bd, wr, br, dils, (1, 3))
+    assert len(got) == 2
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_forward_large_dilations_force_group_split():
+    # a combined backward halo of 256+512 > tile=512 makes the single-group
+    # plan infeasible, so the DP MUST split regardless of cost tuning
+    dils = (256, 512)
+    x, wd, bd, wr, br = _inputs(t=512, n=2, seed=2)
+    plans = plan_groups(dils, 512, 8, 4, (1,))
+    assert len(plans) >= 2, [p.dils for p in plans]
+    got = fused_trunk(x, wd, bd, wr, br, dils, (1,))
+    ref = reference_trunk(x, wd, bd, wr, br, dils, (1,))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_forward_multi_program_grid(monkeypatch):
+    # shrink the VMEM budget so the plan picks tile < T (several grid
+    # programs per clip; exercises halo DMAs + clip-edge zeroing)
+    monkeypatch.setattr(pc, "_SCOPED_VMEM_BUDGET", 96 * 1024)
+    pc.plan_groups.cache_clear()
+    pc._make_trunk.cache_clear()
+    try:
+        dils = (2, 8, 16)
+        x, wd, bd, wr, br = _inputs(t=1024, n=3, seed=3)
+        plans = plan_groups(dils, 1024, 8, 4, (2,))
+        assert any(p.tile < 1024 for p in plans), [
+            (p.dils, p.tile) for p in plans
+        ]
+        got = fused_trunk(x, wd, bd, wr, br, dils, (2,))
+        ref = reference_trunk(x, wd, bd, wr, br, dils, (2,))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        pc.plan_groups.cache_clear()
+        pc._make_trunk.cache_clear()
+
+
+def test_gradient_matches_reference():
+    # interpret-mode backward costs ~45 s per grad — keep geometry minimal
+    dils = (1, 2, 4)
+    emit = (1, 2)
+    x, wd, bd, wr, br = _inputs(t=256, n=3, seed=5)
+    tg = [
+        jnp.asarray(np.random.RandomState(9 + i).randn(256, 8).astype(np.float32))
+        for i in range(2)
+    ]
+
+    def loss(fn, z):
+        taps = fn(z, wd, bd, wr, br, dils, emit)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    g_fused = jax.grad(functools.partial(loss, fused_trunk))(x)
+    g_ref = jax.grad(functools.partial(loss, reference_trunk))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_weight_gradients_match_reference():
+    dils = (1, 4, 16)
+    emit = (0, 2)
+    x, wd, bd, wr, br = _inputs(t=256, n=3, seed=11)
+    tg = jnp.asarray(np.random.RandomState(12).randn(256, 8).astype(np.float32))
+
+    def loss(fn, wd_, bd_, wr_, br_):
+        taps = fn(x, wd_, bd_, wr_, br_, dils, emit)
+        return jnp.sum((taps[0] - tg) ** 2) + jnp.sum(taps[1] ** 3)
+
+    gf = jax.grad(functools.partial(loss, fused_trunk), argnums=(0, 1, 2, 3))(
+        wd, bd, wr, br
+    )
+    gr = jax.grad(
+        functools.partial(loss, reference_trunk), argnums=(0, 1, 2, 3)
+    )(wd, bd, wr, br)
+    for a, b, name in zip(gf, gr, ["wd", "bd", "wr", "br"]):
+        assert float(jnp.max(jnp.abs(b))) > 0, f"degenerate test: {name}"
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
+def test_vmap_lanes_equal_single_clip():
+    dils = (2, 8)
+    emit = (0, 1)
+    x, wd, bd, wr, br = _inputs(t=256, n=2, seed=21)
+    xb = jnp.stack([x, x[::-1]])
+
+    run = lambda z: fused_trunk(z, wd, bd, wr, br, dils, emit)
+    out_b = jax.vmap(run)(xb)
+    for lane in range(2):
+        single = run(xb[lane])
+        for a, b in zip([o[lane] for o in out_b], single):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"lane {lane}"
+            )
+
+    def loss(z):
+        taps = run(z)
+        return jnp.sum(taps[0] ** 2) + 2.0 * jnp.sum(taps[1] ** 2)
+
+    gb = jax.vmap(jax.grad(loss))(xb)
+    for lane in range(2):
+        gs = jax.grad(loss)(xb[lane])
+        np.testing.assert_allclose(
+            np.asarray(gb[lane]), np.asarray(gs), rtol=1e-5, atol=1e-5,
+            err_msg=f"lane {lane}",
+        )
+
+
+def test_encoder_trunk_chain_path_matches_unfused():
+    """encoder_trunk(chain_encoder=True) == the plain XLA trunk, with None
+    for unrequested taps and live entries for the requested ones."""
+    from audio_style_transfer_tpu.models.wavenet_ae import (
+        WaveNetAEConfig,
+        encoder_trunk,
+        init_params,
+    )
+
+    cfg = WaveNetAEConfig(
+        ae_num_layers=4, ae_num_stages=4, ae_width=8, ae_bottleneck_width=4,
+        num_layers=2, width=8, skip_width=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    xq = jnp.asarray(
+        np.random.RandomState(3).randint(-128, 128, (1, 512)).astype(np.float32)
+    )
+    ref = encoder_trunk(params, xq, cfg)
+    chain_cfg = __import__("dataclasses").replace(cfg, chain_encoder=True)
+    got = encoder_trunk(params, xq, chain_cfg, needed_taps=(1, 3))
+    assert got[0] is None and got[2] is None
+    for i in (1, 3):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref[i]), rtol=1e-6, atol=1e-6,
+            err_msg=f"tap {i}",
+        )
+    # enc_ alias + bottleneck tail
+    np.testing.assert_allclose(
+        np.asarray(got[4]), np.asarray(ref[4]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[5]), np.asarray(ref[5]), rtol=1e-6, atol=1e-6
+    )
