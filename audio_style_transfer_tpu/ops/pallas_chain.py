@@ -11,11 +11,15 @@ consecutive residual blocks into single kernel launches:
     halo covering the group's receptive field, every intermediate
     activation lives only in VMEM (shrinking valid windows per layer),
     and only the taps a caller asks for are written back to HBM;
-  * relu masks: the forward stashes, per layer, the gate mask
-    ``(y_j > 0)`` and the output mask ``(x_{j+1} > 0)`` as int8 arrays —
-    the backward then needs NO activation recompute and never reads
-    activations at all: 4 matmuls per layer (dv + three transposed conv
-    taps), the algorithmic minimum for this block's waveform gradient;
+  * relu masks: the forward stashes ONE int8 array per layer packing
+    the output mask ``(x_{j+1} > 0)`` (bit 0) and the gate mask
+    ``(y_j > 0)`` (bit 1) — the backward then needs NO activation
+    recompute and never reads activations at all: 4 matmuls per layer
+    (dv + three transposed conv taps), the algorithmic minimum for this
+    block's waveform gradient.  Packing the two masks halves the mask
+    HBM traffic, and because layer j's output mask IS layer j+1's input
+    mask, the backward loads each packed array exactly once per tile
+    (adjacent layers share it through a 3-slot VMEM rotation);
   * backward: one launch per group; the output cotangent is DMA'd once
     with the group halo, the cotangent chain stays in VMEM, and per-tap
     loss cotangents (style gram / content) are injected at the right
@@ -50,10 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 # HBM slices (manual halo DMAs) must start at sublane-tile multiples; the
 # int8 mask arrays have (32, 128) tiling, so DMA halos are 32-aligned.
 _DMA_ALIGN = 32
-# In-VMEM window reads only need 8-row alignment (f32 tiling; bf16 window
-# reads at 8-row offsets have been exercised by the per-layer kernels
-# since round 1).
-_REF_ALIGN = 8
+# In-VMEM window reads are 16-row aligned: bf16 VMEM tiling is (16, 128),
+# so an 8-mod-16 row offset would force a whole-array sublane relayout on
+# every slice of the chained activations (f32 only needs 8; the extra
+# halo rows cost < 1% extra matmul work at tile >= 2048).
+_REF_ALIGN = 16
 
 _SCOPED_VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -115,7 +120,7 @@ def _fwd_vmem(tile, halo, c, s, k):
     return (
         2 * ext * c * s            # input DMA ping-pong slots
         + 2 * ext * c * s          # chain ping-pong
-        + 2 * 2 * tile * c         # int8 mask staging (x + y)
+        + 2 * tile * c             # packed int8 mask staging
         + ext * c * (12 + 2 * s)   # y/z f32 + tap values in flight
         + k * 4 * c * c * s        # stacked weights
     )
@@ -126,7 +131,7 @@ def _bwd_vmem(tile, nk, c, s, k):
     return (
         ext * c * s                # dx slot
         + 2 * ext * c * s          # carry ping-pong
-        + 2 * 2 * ext * c          # int8 mask slots (x + y, ping-pong)
+        + 3 * ext * c              # packed int8 mask slots (3-rotation)
         + 2 * ext * c * s          # tap-cotangent slots
         + ext * c * (12 + 2 * s)
         + k * 4 * c * c * s
@@ -264,10 +269,10 @@ def _halo_load(x_ref, scratch, sems, i, tile, h, cp, start):
 
 def _tap3(r, off: int, d: int, n: int):
     """Rows (off-d, off, off+d), n long, of the in-register value ``r``.
-    d < 8 shifts go through pltpu.roll in f32 (Mosaic's rotate is
-    32-bit-only); d >= 8 offsets are 8-aligned by the plan."""
+    d < _REF_ALIGN shifts go through pltpu.roll in f32 (Mosaic's rotate
+    is 32-bit-only); larger d offsets are sublane-aligned by the plan."""
     center = jax.lax.slice_in_dim(r, off, off + n)
-    if d < 8:
+    if d < _REF_ALIGN:
         rows = r.shape[0]
         r32 = r if r.dtype == jnp.float32 else r.astype(jnp.float32)
         left = jax.lax.slice_in_dim(pltpu.roll(r32, d, 0), off, off + n)
@@ -312,9 +317,8 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
 
     x_ref, wd_ref, bd_ref, wr_ref, br_ref = refs[:5]
     tap_outs = refs[5 : 5 + n_taps]
-    xm_outs = refs[5 + n_taps : 5 + n_taps + k]
-    ym_outs = refs[5 + n_taps + k : 5 + n_taps + 2 * k]
-    slots, chain, xm_stage, ym_stage, in_sems, out_sems = refs[5 + n_taps + 2 * k :]
+    cm_outs = refs[5 + n_taps : 5 + n_taps + k]
+    slots, chain, cm_stage, in_sems, out_sems = refs[5 + n_taps + k :]
 
     i = pl.program_id(0)
     pos = jax.lax.rem(i, cp)
@@ -389,24 +393,24 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
         wait_write("tap", slot)
         chain[slot, pl.ds(h - a_j, w_j)] = out
 
-        wait_write("ym", slot)
-        ym_stage[slot] = (
-            jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
-        ).astype(jnp.int8)
-        start_write("ym", slot, ym_outs[j], ym_stage.at[slot],
-                    out_sems.at[slot, 0])
-
-        wait_write("xm", slot)
-        xm_stage[slot] = (
+        # Packed mask: bit 0 = (x_{j+1} > 0) (this layer's output / next
+        # layer's relu input), bit 1 = (y_j > 0) (the gate relu).
+        wait_write("cm", slot)
+        # Pack in i32 (Mosaic has no i8 vector arithmetic), truncate once.
+        xm_bit = (
             jax.lax.slice_in_dim(out, a_j, a_j + tile).astype(jnp.float32)
             > 0.0
-        ).astype(jnp.int8)
-        start_write("xm", slot, xm_outs[j], xm_stage.at[slot],
-                    out_sems.at[slot, 1])
+        ).astype(jnp.int32)
+        ym_bit = (
+            jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
+        ).astype(jnp.int32)
+        cm_stage[slot] = (xm_bit + ym_bit + ym_bit).astype(jnp.int8)
+        start_write("cm", slot, cm_outs[j], cm_stage.at[slot],
+                    out_sems.at[slot, 0])
 
         if j in plan.emits:
             start_write("tap", slot, tap_outs[plan.emits.index(j)],
-                        chain.at[slot, pl.ds(h, tile)], out_sems.at[slot, 2])
+                        chain.at[slot, pl.ds(h, tile)], out_sems.at[slot, 1])
 
     for key in list(pending):
         wait_write(*key)
@@ -417,9 +421,9 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
 
     Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
       bd [K, C]; wr [K, C, C]; br [K, C].
-    Returns: (taps, xmasks, ymasks) — taps[j] for j in plan.emits
-      ([-1] is the group output), xmasks[j] == (x_{k0+j+1} > 0) int8,
-      ymasks[j] == (y_{k0+j} > 0) int8, all [rows, C].
+    Returns: (taps, cmasks) — taps[j] for j in plan.emits ([-1] is the
+      group output); cmasks[j] packs (x_{k0+j+1} > 0) in bit 0 and
+      (y_{k0+j} > 0) in bit 1, int8 [rows, C].
     """
     rows, c = x.shape
     assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
@@ -434,28 +438,24 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
     f32 = jnp.float32
     out_shape = (
         [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
-        + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * (2 * plan.k)
+        + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * plan.k
     )
     outs = pl.pallas_call(
         kernel,
         grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_taps + 2 * plan.k),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_taps + plan.k),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, ext, c), dtype),       # input slots
             pltpu.VMEM((2, ext, c), dtype),       # chain ping-pong
-            pltpu.VMEM((2, tile, c), jnp.int8),   # xmask staging
-            pltpu.VMEM((2, tile, c), jnp.int8),   # ymask staging
+            pltpu.VMEM((2, tile, c), jnp.int8),   # packed-mask staging
             pltpu.SemaphoreType.DMA((2, 3)),      # input halo sems
-            pltpu.SemaphoreType.DMA((2, 3)),      # write sems [slot, kind]
+            pltpu.SemaphoreType.DMA((2, 2)),      # write sems [slot, kind]
         ],
     )(x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype), br.astype(f32))
-    taps = outs[:n_taps]
-    xmasks = outs[n_taps : n_taps + plan.k]
-    ymasks = outs[n_taps + plan.k :]
-    return taps, xmasks, ymasks
+    return outs[:n_taps], outs[n_taps:]
 
 
 # --------------------------------------------------------------------- #
@@ -470,43 +470,51 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
     nk = prefix[-1]
 
     dx_ref, wd_ref, wr_ref = refs[:3]
-    xm_refs = refs[3 : 3 + k]
-    ym_refs = refs[3 + k : 3 + 2 * k]
-    g_refs = refs[3 + 2 * k : 3 + 2 * k + len(g_locals)]
-    out_ref = refs[3 + 2 * k + len(g_locals)]
-    (dx_slot, carry, xm_slots, ym_slots, g_slots, dx_sems, xm_sems, ym_sems,
-     g_sems, out_sem) = refs[4 + 2 * k + len(g_locals) :]
+    cm_refs = refs[3 : 4 + k]  # k+1 packed masks; index i == global cms[k0+i]
+    g_refs = refs[4 + k : 4 + k + len(g_locals)]
+    out_ref = refs[4 + k + len(g_locals)]
+    (dx_slot, carry, cm_slots, g_slots, dx_sems, cm_sems, g_sems,
+     out_sem) = refs[5 + k + len(g_locals) :]
 
     i = pl.program_id(0)
 
-    def layer_loads(s, start):
+    # cms[i] serves layer i's input mask (bit 0, extent prefix[i]) AND
+    # layer i-1's gate mask (bit 1, same extent) — each array is DMA'd
+    # exactly once per tile into a 3-slot rotation shared by the two
+    # consumer steps.
+    def cm_load(idx, start):
+        _halo_load(cm_refs[idx], cm_slots.at[idx % 3], cm_sems.at[idx % 3],
+                   i, tile, prefix[idx], cp, start)
+
+    def g_load(s, start):
         j = k - 1 - s
-        slot = s % 2
-        _halo_load(xm_refs[j], xm_slots.at[slot], xm_sems.at[slot], i, tile,
-                   prefix[j], cp, start)
-        _halo_load(ym_refs[j], ym_slots.at[slot], ym_sems.at[slot], i, tile,
-                   prefix[j + 1], cp, start)
         if j in g_locals:
-            _halo_load(g_refs[g_locals.index(j)], g_slots.at[slot],
-                       g_sems.at[slot], i, tile, prefix[j + 1], cp, start)
+            _halo_load(g_refs[g_locals.index(j)], g_slots.at[s % 2],
+                       g_sems.at[s % 2], i, tile, prefix[j + 1], cp, start)
 
     _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, True)
-    layer_loads(0, True)
+    cm_load(k, True)
+    cm_load(k - 1, True)
+    g_load(0, True)
     _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, False)
 
     dtype = carry.dtype
     for s in range(k):
         j = k - 1 - s
         d = plan.dils[j]
-        slot = s % 2
         n_j, n_j1 = prefix[j], prefix[j + 1]
         q = _al(n_j + d, _REF_ALIGN)
         w_dy = tile + 2 * q
         w_out = tile + 2 * n_j
 
+        if j >= 1:
+            cm_load(j - 1, True)
         if s + 1 < k:
-            layer_loads(s + 1, True)
-        layer_loads(s, False)
+            g_load(s + 1, True)
+        if s == 0:
+            cm_load(k, False)
+        cm_load(j, False)
+        g_load(s, False)
 
         # dx_{j+1} lives at carry rows [nk - n_{j+1}, nk + tile + n_{j+1}).
         if s == 0:
@@ -514,20 +522,20 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
         else:
             dxe = carry[(s - 1) % 2, pl.ds(nk - n_j1, tile + 2 * n_j1)]
         if j in g_locals:
-            dxe = dxe + g_slots[slot, pl.ds(0, tile + 2 * n_j1)]
+            dxe = dxe + g_slots[s % 2, pl.ds(0, tile + 2 * n_j1)]
 
         dv = _dot_t(jax.lax.slice_in_dim(dxe, n_j1 - q, n_j1 - q + w_dy),
                     wr_ref[j])
-        ym = jax.lax.slice_in_dim(
-            ym_slots[slot], n_j1 - q, n_j1 - q + w_dy
-        ).astype(jnp.float32)
+        cm1 = cm_slots[(j + 1) % 3, pl.ds(n_j1 - q, w_dy)]
+        ym = (cm1.astype(jnp.int32) >= 2).astype(jnp.float32)
         dy = (dv * ym).astype(dtype)
 
         left, cen, right = _tap3(dy, q - n_j, d, w_out)
         dr = _dot_t(right, wd_ref[j, 0])
         dr += _dot_t(cen, wd_ref[j, 1])
         dr += _dot_t(left, wd_ref[j, 2])
-        xm = jax.lax.slice_in_dim(xm_slots[slot], 0, w_out).astype(jnp.float32)
+        cm0 = cm_slots[j % 3, pl.ds(0, w_out)]
+        xm = jnp.bitwise_and(cm0.astype(jnp.int32), 1).astype(jnp.float32)
         dx_j = (
             jax.lax.slice_in_dim(dxe, n_j1 - n_j, n_j1 - n_j + w_out)
             + (dr * xm).astype(dtype)
@@ -546,14 +554,14 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
     ).wait()
 
 
-def _bwd_group(plan: GroupPlan, dx, xmasks, ymasks, gs: dict, wd, wr,
-               clip_rows: int):
+def _bwd_group(plan: GroupPlan, dx, cms, gs: dict, wd, wr, clip_rows: int):
     """One backward group launch.
 
     Args: dx [rows, C] — cotangent of the group output x_{k0+K};
-      xmasks[j] == (x_{k0+j} > 0), ymasks[j] == (y_{k0+j} > 0) (int8,
-      note xmasks here are the LAYER-INPUT masks, shifted by one vs the
-      forward's outputs); gs maps local j -> loss cotangent of tap k0+j.
+      cms — K+1 packed int8 masks, cms[j] holding (x_{k0+j} > 0) in bit 0
+      and (y_{k0+j-1} > 0) in bit 1 (cms[0]'s bit 1 — the previous
+      group's gate — is unused here); gs maps local j -> loss cotangent
+      of tap k0+j.
     Returns dx0 [rows, C] — cotangent of the group input.
     """
     rows, c = dx.shape
@@ -564,6 +572,7 @@ def _bwd_group(plan: GroupPlan, dx, xmasks, ymasks, gs: dict, wd, wr,
     cp = clip_rows // tile
     dtype = dx.dtype
     g_locals = tuple(sorted(gs))
+    assert len(cms) == plan.k + 1
 
     kernel = functools.partial(_bwd_group_kernel, plan, cp, nprog, g_locals)
     return pl.pallas_call(
@@ -571,22 +580,20 @@ def _bwd_group(plan: GroupPlan, dx, xmasks, ymasks, gs: dict, wd, wr,
         grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * plan.k + len(g_locals)),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (plan.k + 1 + len(g_locals)),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, c), dtype),
         scratch_shapes=[
             pltpu.VMEM((ext, c), dtype),          # dx slot
             pltpu.VMEM((2, ext, c), dtype),       # carry ping-pong
-            pltpu.VMEM((2, ext, c), jnp.int8),    # xmask slots
-            pltpu.VMEM((2, ext, c), jnp.int8),    # ymask slots
+            pltpu.VMEM((3, ext, c), jnp.int8),    # packed-mask rotation
             pltpu.VMEM((2, ext, c), dtype),       # tap-cotangent slots
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((3, 3)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(dx, wd.astype(dtype), wr.astype(dtype), *xmasks, *ymasks,
+    )(dx, wd.astype(dtype), wr.astype(dtype), *cms,
       *[gs[j] for j in g_locals])
 
 
@@ -610,35 +617,32 @@ def stack_trunk_weights(params, num_layers: int = 30):
 
 
 def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
-    """Run all groups; returns (taps dict by global id, xmasks, ymasks).
+    """Run all groups; returns (taps dict by global id, cms).
 
-    xmasks[j] is the INPUT mask of layer j (j = 0..K_total-1); masks are
+    cms[j] (j = 0..K_total) packs (x_j > 0) in bit 0 and (y_{j-1} > 0)
+    in bit 1 (cms[0] is the trunk input's relu mask, bit 0 only);
     int8 [rows, C].
     """
     c = x.shape[-1]
     plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit)
-    xmask0 = (x.astype(jnp.float32) > 0.0).astype(jnp.int8)
-    xmasks, ymasks, taps = [xmask0], [], {}
+    cm0 = (x.astype(jnp.float32) > 0.0).astype(jnp.int8)
+    cms, taps = [cm0], {}
     cur = x
     for plan in plans:
         k0, k = plan.k0, plan.k
-        g_taps, g_xm, g_ym = _fwd_group(
+        g_taps, g_cm = _fwd_group(
             plan, cur, wd[k0 : k0 + k], bd[k0 : k0 + k], wr[k0 : k0 + k],
             br[k0 : k0 + k], clip_rows,
         )
         for j, tap in zip(plan.emits, g_taps):
             taps[k0 + j] = tap
         cur = g_taps[-1]
-        xmasks.extend(g_xm)
-        ymasks.extend(g_ym)
-    # xmasks currently holds input-mask of layer 0 plus each layer's
-    # OUTPUT mask; drop the last (the trunk output's mask is never read).
-    return taps, tuple(xmasks[:-1]), tuple(ymasks)
+        cms.extend(g_cm)
+    return taps, tuple(cms)
 
 
-def _trunk_bwd_impl(dils, emit, dtaps: dict, xmasks, ymasks, wd, wr,
-                    clip_rows):
-    c = xmasks[0].shape[-1]
+def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
+    c = cms[0].shape[-1]
     last = len(dils) - 1
     plans = plan_groups(dils, clip_rows, c, wd.dtype.itemsize, emit)
     dx = dtaps[last]
@@ -650,7 +654,7 @@ def _trunk_bwd_impl(dils, emit, dtaps: dict, xmasks, ymasks, wd, wr,
             if k0 <= j < k0 + k and j != last
         }
         dx = _bwd_group(
-            plan, dx, xmasks[k0 : k0 + k], ymasks[k0 : k0 + k], gs,
+            plan, dx, cms[k0 : k0 + k + 1], gs,
             wd[k0 : k0 + k], wr[k0 : k0 + k], clip_rows,
         )
     return dx
@@ -684,9 +688,9 @@ def _make_trunk(dils: tuple, emit: tuple):
 
     @jax.custom_batching.custom_vmap
     def fwd_b(x, wd, bd, wr, br):
-        taps, xm, ym = _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br,
-                                       x.shape[0])
-        return tuple(taps[j] for j in emit), xm, ym
+        taps, cms = _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br,
+                                    x.shape[0])
+        return tuple(taps[j] for j in emit), cms
 
     @fwd_b.def_vmap
     def _fwd_rule(axis_size, in_batched, x, wd, bd, wr, br):
@@ -696,29 +700,28 @@ def _make_trunk(dils: tuple, emit: tuple):
                 f"(got in_batched={in_batched})"
             )
         b, t, c = x.shape
-        taps, xm, ym = _trunk_fwd_impl(
+        taps, cms = _trunk_fwd_impl(
             dils, emit, x.reshape(b * t, c), wd, bd, wr, br, t
         )
         unflat = lambda a: a.reshape(b, t, c)
         out = (
             tuple(unflat(taps[j]) for j in emit),
-            tuple(unflat(m) for m in xm),
-            tuple(unflat(m) for m in ym),
+            tuple(unflat(m) for m in cms),
         )
         return out, jax.tree.map(lambda _: True, out)
 
     @jax.custom_batching.custom_vmap
-    def bwd_b(dtaps, xm, ym, wd, wr):
+    def bwd_b(dtaps, cms, wd, wr):
         dx = _trunk_bwd_impl(
-            dils, emit, dict(zip(emit, dtaps)), xm, ym, wd, wr,
+            dils, emit, dict(zip(emit, dtaps)), cms, wd, wr,
             dtaps[0].shape[0],
         )
         return dx
 
     @bwd_b.def_vmap
-    def _bwd_rule(axis_size, in_batched, dtaps, xm, ym, wd, wr):
-        ok_t = all(jax.tree.leaves(in_batched[0]))
-        if not ok_t or any(jax.tree.leaves(in_batched[3:])):
+    def _bwd_rule(axis_size, in_batched, dtaps, cms, wd, wr):
+        ok_t = all(jax.tree.leaves(in_batched[:2]))
+        if not ok_t or any(jax.tree.leaves(in_batched[2:])):
             raise NotImplementedError(
                 "fused_trunk backward: cotangents/masks must be vmapped "
                 "and weights unbatched"
@@ -728,23 +731,22 @@ def _make_trunk(dils: tuple, emit: tuple):
         dx = _trunk_bwd_impl(
             dils, emit,
             dict(zip(emit, [flat(g) for g in dtaps])),
-            tuple(flat(m) for m in xm), tuple(flat(m) for m in ym),
-            wd, wr, t,
+            tuple(flat(m) for m in cms), wd, wr, t,
         )
         return dx.reshape(b, t, c), True
 
     @jax.custom_vjp
     def trunk(x, wd, bd, wr, br):
-        taps, _, _ = fwd_b(x, wd, bd, wr, br)
+        taps, _ = fwd_b(x, wd, bd, wr, br)
         return taps
 
     def vjp_fwd(x, wd, bd, wr, br):
-        taps, xm, ym = fwd_b(x, wd, bd, wr, br)
-        return taps, (x, wd, bd, wr, br, xm, ym)
+        taps, cms = fwd_b(x, wd, bd, wr, br)
+        return taps, (x, wd, bd, wr, br, cms)
 
     def vjp_bwd(res, dtaps):
-        x, wd, bd, wr, br, xm, ym = res
-        dx = bwd_b(tuple(dtaps), xm, ym, wd, wr)
+        x, wd, bd, wr, br, cms = res
+        dx = bwd_b(tuple(dtaps), cms, wd, wr)
         # Weight cotangents via XLA recompute — DCE-pruned whenever the
         # caller (the transfer hot path: frozen weights) does not consume
         # them, correct when a training loss differentiates through.

@@ -50,6 +50,11 @@ def main():
     parser.add_argument("--fused", dest="fused", action="store_true", default=True,
                         help="Pallas fused encoder blocks (default on)")
     parser.add_argument("--no_fused", dest="fused", action="store_false")
+    parser.add_argument("--no_chain", dest="chain", action="store_false",
+                        default=None,
+                        help="force the per-layer fused kernels instead of "
+                             "the chained-trunk kernels (comparison mode; "
+                             "default: chain follows --fused)")
     parser.add_argument("--suite", dest="suite", action="store_true",
                         default=True,
                         help="also run gatys / full-stack / batched configs "
@@ -101,6 +106,7 @@ def main():
         early_stop_evals=0,  # run the full budget: benchmark fixed work
         compute_dtype=args.precision,
         fused_encoder=args.fused,
+        chain_encoder=args.chain,
         warm_start=args.warm_start,
         write_artifacts=False,
     )
@@ -176,6 +182,11 @@ def main():
         "final_loss": float(result["metrics"][-1, 0]),
         "precision": args.precision,
         "fused_encoder": spec.fused_encoder,
+        "chain_encoder": bool(
+            spec.fused_encoder
+            if spec.chain_encoder is None
+            else spec.chain_encoder
+        ),
         "device": str(device),
     }
 
