@@ -38,8 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Scoped-VMEM budget for the resident tap tiles (double-buffered by the
-# pipeline) plus the [L, L, C] accumulator / cotangent blocks.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# pipeline), their one-time f32 conversions (each tap tile is reused by
+# ~L/2 pairs, so the converted set is materialized once per grid step and
+# must be budgeted — omitting it blew the 16 MB scoped limit at
+# L=10/T=16384/tile=2048: 20.8 MB requested), plus the [L, L, C]
+# accumulator / cotangent blocks.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _pick_tile(
@@ -48,17 +52,19 @@ def _pick_tile(
     """Largest power-of-two tile dividing t whose pipeline footprint fits.
 
     ``n_streams`` counts the [tile, C] arrays in flight per tap (inputs
-    plus outputs for the backward kernel), each double-buffered. With a
-    batch grid dimension Mosaic keeps extra buffers in flight around the
-    revisited output block (measured: B=8/L=10/tile=1024 blew the 16 MB
-    scoped limit at a nominal 5.2 MB footprint), so the batched launch
-    budgets half.
+    plus outputs for the backward kernel), each double-buffered. Every
+    tap additionally holds one f32-converted [tile, C] copy live across
+    the pair loop. With a batch grid dimension Mosaic keeps extra buffers
+    in flight around the revisited output block (measured: B=8/L=10/
+    tile=1024 blew the 16 MB scoped limit at a nominal 5.2 MB footprint),
+    so the batched launch budgets half.
     """
     budget = _VMEM_BUDGET // 2 if batched else _VMEM_BUDGET
     tile = min(t, 4096)
     while t % tile:
         tile //= 2
-    while tile > 8 and nl * tile * c * itemsize * 2 * n_streams > budget:
+    per_row = nl * c * (itemsize * 2 * n_streams + 4)
+    while tile > 8 and tile * per_row > budget:
         tile //= 2
     return max(tile, 8)
 

@@ -58,9 +58,10 @@ class TransferSpec:
     # fused_encoder (the chained trunk IS the fused encoder's successor);
     # False forces the per-layer fused kernels for comparison.
     chain_encoder: bool | None = None
-    # Pallas all-pairs gram kernel (TPU only). None = follow fused_encoder.
-    # Kept separate because the batched path (optimize_batch) runs XLA convs
-    # but still wants the single-HBM-read gram.
+    # Pallas all-pairs gram kernel (TPU only). None = auto: on when the
+    # encoder is fused AND >= 16 style layers are selected (the single-
+    # HBM-read kernel only beats XLA's fused pairwise path once the L^2
+    # pair traffic dominates — measured crossover between L=10 and L=30).
     fused_gram: bool | None = None
     # Carry the L-BFGS curvature memory across epochs instead of the
     # reference's cold per-epoch restarts (an artifact of SciPy's stateless
@@ -133,44 +134,16 @@ class StyleTransfer:
             lambda params, xq: transfer_embeds(params, xq, self.cfg, self.loss_spec)
         )
         self._epochs_fn = jax.jit(self._run_epochs, static_argnames=("epochs",))
-        # Vmapped variant — used ONLY when optimize_batch gets a mesh (the
-        # multi-chip scale-out path; single-chip batches run sequentially
-        # via _epochs_seq_fn below). vmap over (x0, phi_c, phi_s) with
-        # shared weights. The fused encoder block does support vmap (a
-        # custom batching rule flattens the batch into one clip-aware
-        # kernel launch, ops/pallas_encoder.py), but its manual halo DMAs
-        # receive the gram cotangents in a layout that forces strided HBM
-        # reads at B>1 (5.84 vs 2.17 ms/clip-eval measured at B=8), so the
-        # vmapped program uses XLA convs + the Pallas gram kernel.
-        batch_self = self
-        if use_chain:
-            # The chained trunk batches cleanly: its custom-vmap rule
-            # flattens the clips into clip-aware kernel launches, and the
-            # whole-trunk VJP keeps the gram cotangents off the
-            # XLA<->Pallas boundary (the round-2 strided-layout problem).
-            pass
-        elif spec.fused_encoder:
-            # Default the vmapped path's gram to the Pallas kernel (the
-            # vmapped XLA pairwise gram stops fusing), but honor an
-            # explicit spec.fused_gram=False — the user may be dodging a
-            # Mosaic scoped-VMEM overflow at their batch/layer shape.
-            batch_gram = True if spec.fused_gram is None else spec.fused_gram
-            batch_self = StyleTransfer(
-                dataclasses.replace(
-                    spec, fused_encoder=False, fused_gram=batch_gram
-                ),
-                params,
-                model_cfg,
-            )
-        self._epochs_batch_fn = jax.jit(
-            jax.vmap(
-                lambda params, x0, pc, ps, epochs: batch_self._run_epochs(
-                    params, x0, pc, ps, epochs=epochs
-                ),
-                in_axes=(None, 0, 0, 0, None),
-            ),
-            static_argnums=(4,),
-        )
+        # Mesh-path programs (optimize_batch mesh=...), built lazily per
+        # (mesh, epochs) by _mesh_batch_fn: shard_map over the clip axis
+        # running the SAME fully-fused single-clip epoch program on each
+        # device's local clips (sequential lax.map, per-clip early stop).
+        # A jit(vmap(...)) over sharded clips cannot do this — XLA has no
+        # partitioning rule for the Pallas custom-calls, so the vmapped
+        # program would replicate (all-gather) every kernel onto every
+        # device; shard_map makes each device run plain single-clip
+        # kernels with zero hot-loop communication.
+        self._mesh_fns: dict = {}
         # Single-chip K-clip path: clips run SEQUENTIALLY on device via
         # lax.map — each element is a full single-clip epoch loop (fused
         # encoder and all), so there is no vmap lockstep, one compile, and
@@ -341,6 +314,34 @@ class StyleTransfer:
             "x": np.asarray(snapshots[max(ep_done - 1, 0)])[None, :],
         }
 
+    def _mesh_batch_fn(self, mesh, epochs: int):
+        """shard_map program for the mesh path (see optimize_batch)."""
+        key = (mesh, epochs)
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+
+            def local_run(params, x0, pc, ps):
+                return jax.lax.map(
+                    lambda args: self._run_epochs(params, *args, epochs=epochs),
+                    (x0, pc, ps),
+                )
+
+            fn = jax.jit(
+                shard_map(
+                    local_run,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis), P(axis), P(axis)),
+                    out_specs=P(axis),
+                    check_rep=False,
+                )
+            )
+            self._mesh_fns[key] = fn
+        return fn
+
     def optimize_batch(
         self, phi_c, phi_s, epochs: int | None = None, x0=None, mesh=None
     ):
@@ -359,10 +360,13 @@ class StyleTransfer:
         rate equals the single-clip fused rate.
 
         With ``mesh`` (1-D), the clip axis is sharded over the mesh's
-        devices and XLA partitions the vmapped program — this is the
-        scale-out path for long-form audio on a slice (weights replicated,
-        K/n clips per chip, zero cross-device communication in the hot
-        loop; the lockstep cost only applies among lanes sharing a chip).
+        devices via shard_map and EVERY device runs the same fully-fused
+        single-clip program on its local clips (sequential lax.map) — the
+        scale-out path for long-form audio on a slice: weights replicated
+        (~8 MB encoder), K/n clips per chip, per-clip early stop, zero
+        cross-device communication in the hot loop, and no vmap lockstep
+        anywhere. Aggregate throughput is n_devices x the single-chip
+        fused rate by construction.
         """
         spec = self.spec
         epochs = epochs or spec.epochs
@@ -393,8 +397,8 @@ class StyleTransfer:
         )
         shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
         x0, phi_c, phi_s = shard(x0), shard(phi_c), shard(phi_s)
-        snapshots, metrics, evals, ep_done = self._epochs_batch_fn(
-            self.params, x0, phi_c, phi_s, epochs
+        snapshots, metrics, evals, ep_done = self._mesh_batch_fn(mesh, epochs)(
+            self.params, x0, phi_c, phi_s
         )
         ep_done = np.asarray(ep_done)
         return {
