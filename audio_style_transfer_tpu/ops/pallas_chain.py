@@ -386,12 +386,22 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
         v = jnp.maximum(y, 0.0).astype(dtype)
         z = _dot(v, wr_ref[j]) + br_ref[j][None, :]
         out = jax.lax.slice_in_dim(base, off, off + w_j) + z.astype(dtype)
-        # SAME-padding fidelity: rows outside the clip stay zero (bias
-        # adds would otherwise leak into later layers' halo taps).
-        out = out * _clip_mask(w_j, a_j, pos, tile, cp, dtype)
 
         wait_write("tap", slot)
         chain[slot, pl.ds(h - a_j, w_j)] = out
+        if a_j > 0:
+            # SAME-padding fidelity: window rows outside the clip must stay
+            # zero (bias adds would otherwise leak into later layers' halo
+            # taps). Only the window HALO (a_j rows per side) can fall
+            # outside, and only on the clip-edge tiles — interior tiles
+            # skip the masking multiply entirely (~2 VPU passes/layer/tile
+            # saved; the mask-pack below reads the window CENTER, which is
+            # always in-clip, so it stays on the unmasked value).
+            @pl.when((pos == 0) | (pos == cp - 1))
+            def _mask_edges():
+                chain[slot, pl.ds(h - a_j, w_j)] = out * _clip_mask(
+                    w_j, a_j, pos, tile, cp, dtype
+                )
 
         # Packed mask: bit 0 = (x_{j+1} > 0) (this layer's output / next
         # layer's relu input), bit 1 = (y_j > 0) (the gate relu).

@@ -153,6 +153,46 @@ def _local_grams(extracts, layer_ids: Sequence[int], gatys: bool):
     )
 
 
+def make_sharded_embeds(
+    params,
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    mesh: Mesh,
+    axis_name: str = "time",
+):
+    """Jittable x [1, T] -> (content embed [T, C*], style gram) with exact
+    full-sequence semantics over the time-sharded mesh — the target-building
+    companion of :func:`make_sharded_loss` (one encoder pass, no chunking).
+    The content embed comes back sharded over T, the gram replicated."""
+
+    def local(params, x_local):
+        extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
+        c_local = jnp.concatenate(
+            [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
+            axis=2,
+        )[0]
+        gram = jax.lax.psum(
+            _local_grams(extracts, spec.style_layer_ids, spec.gatys), axis_name
+        )
+        gram = l2_normalize(gram, axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        return c_local, gram
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,
+    )
+
+    def embeds(x):
+        return sharded(params, x)
+
+    return embeds
+
+
 def make_sharded_loss(
     params,
     phi_c,

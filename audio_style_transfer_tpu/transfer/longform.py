@@ -152,63 +152,216 @@ def transfer_longform(
     return LongformResult(audio=audio, per_window=result)
 
 
-def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):
-    """NMF + optimal-transport feature matching (reference utils.py:132-145).
+def ot_translated_gram(engine, style_audio, content_audio, n_components):
+    """Full OT-translated gram: content features reconstructed in the
+    OT-matched palette, per style layer, through the engine's own gram
+    statistic.
 
-    Factorizes the relu'd ``enc_`` features of one style and one content
-    window into non-negative palettes, OT-matches the content palette to the
-    style palette (reference optimal_transport.py:151-162), reconstructs the
-    content features in the matched palette, and blends the reconstructed
-    features' channel gram into the style target.  (In the reference,
-    ``utils.transform`` is provided but never wired into the loss — here the
-    OT-matched gram participates with a 0.5 blend so the capability is live.)
+    The reference ships this pipeline as ``utils.transform``
+    (utils.py:132-145 — NMF-factorize non-negative features over a
+    palette, OT-match the palette, return the reconstruction ``h @ W``)
+    plus the ADMM matcher (optimal_transport.py:140-162), but never wires
+    it into a loss. Here the same pipeline runs on EVERY style layer the
+    loss uses:
+
+      1. the relu'd content and style taps at layer i (NMF needs
+         non-negative input — exactly why the reference's transform could
+         only ever consume relu'd features) are factorized into palettes
+         wc_i / ws_i [k, C];
+      2. the content palette is OT-matched toward the style palette,
+         w*_i = compute_permutation(wc_i, ws_i) — the ADMM transport's
+         barycentric projection;
+      3. the content tap is reconstructed in the matched palette,
+         f'_i = h_i @ w*_i with h_i the NMF activations of the content
+         tap over its own palette (the reference's ``h @ W`` form,
+         utils.py:139-145);
+      4. the engine's gram statistic (channel-wise or Gatys, same
+         nb_channels trim and l2 normalization) is built over all the
+         reconstructed taps — the full gram of "content rendered in the
+         style palette".
+
+    Returns (g_ot, g_c, g_s): the translated gram, plus the same-
+    construction (relu'd-tap) content and style grams for reference —
+    all l2-normalized and shaped exactly like the engine's ``phi_t``.
+    Property (asserted at full geometry in tests/test_longform.py):
+    g_ot differs measurably from g_c and is strictly CLOSER to g_s —
+    the transport moved the statistic in the style direction.
     """
     from audio_style_transfer_tpu.analysis.nmf import nmf, nmf_transform
     from audio_style_transfer_tpu.analysis.ot import compute_permutation
     from audio_style_transfer_tpu.models.wavenet_ae import encoder_extracts
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
+    from audio_style_transfer_tpu.transfer.grams import style_gram
 
     window = engine.spec.batch_size
+    lspec = engine.loss_spec
+    style_ids = tuple(sorted(set(lspec.style_layer_ids)))
 
     # One jitted program per encoder pass — running the 30-layer encoder
     # eagerly dispatches every op through the (remote) runtime one at a
     # time, measured ~35 s/pass on the tunnel vs milliseconds jitted.
     @jax.jit
-    def _enc_feats(params, xq):
-        extracts, _ = encoder_extracts(params, xq, engine.cfg)
-        return jnp.maximum(extracts[-2][0].astype(jnp.float32), 0.0)
+    def _relu_taps(params, xq):
+        extracts, _ = encoder_extracts(params, xq, engine.cfg,
+                                       needed_taps=style_ids)
+        return [
+            jnp.maximum(extracts[i].astype(jnp.float32), 0.0)
+            for i in style_ids
+        ]
 
-    def feats(aud):
+    def taps(aud):
         xq = jnp.asarray(mu_law_numpy(aud[None, :window]), jnp.float32)
-        return np.asarray(_enc_feats(engine.params, xq))  # [T, C]
+        return [np.asarray(a[0]) for a in _relu_taps(engine.params, xq)]
 
-    fs = feats(style_audio)
-    fc = feats(content_audio)
-    _, hs = nmf(fs, n_components)  # style palette  [k, C]
-    _, hc = nmf(fc, n_components)  # content palette [k, C]
-    ws, wc = np.asarray(hs), np.asarray(hc)
+    fc, fs = taps(content_audio), taps(style_audio)
 
-    # Move the content palette toward the style palette and reconstruct the
-    # content features in the matched basis.
-    w_matched = compute_permutation(wc, ws)  # [k, C]
-    h = np.asarray(nmf_transform(fc, wc))  # [T, k]
-    f_matched = h @ w_matched  # [T, C]
+    rec_errs, pal_dists, f_ot = [], [], {}
+    for j, i in enumerate(style_ids):
+        _, hc = nmf(fc[j], n_components)  # content palette [k, C]
+        _, hs = nmf(fs[j], n_components)  # style palette   [k, C]
+        wc, ws = np.asarray(hc), np.asarray(hs)
+        w_matched = compute_permutation(wc, ws)  # [k, C]
+        h = np.asarray(nmf_transform(fc[j], wc))  # [T, k]
+        f_ot[i] = jnp.asarray((h @ w_matched)[None])  # [1, T, C]
+        rec_errs.append(
+            np.linalg.norm(fc[j] - h @ wc) / max(np.linalg.norm(fc[j]), 1e-12)
+        )
+        pal_dists.append(
+            np.linalg.norm(wc - w_matched) / max(np.linalg.norm(wc), 1e-12)
+        )
+    print(
+        f"OT transform: nmf rec err {np.mean(rec_errs):.4f}, "
+        f"palette shift {np.mean(pal_dists):.4f} "
+        f"(mean over {len(style_ids)} layers)"
+    )
 
-    rec_err = np.linalg.norm(fc - h @ wc) / max(np.linalg.norm(fc), 1e-12)
-    pal_dist = np.linalg.norm(wc - w_matched) / max(np.linalg.norm(wc), 1e-12)
-    print(f"OT transform: nmf rec err {rec_err:.4f}, palette shift {pal_dist:.4f}")
+    def gram(tap_map):
+        return np.asarray(
+            style_gram(
+                tap_map, lspec.style_layer_ids, gatys=lspec.gatys,
+                nb_channels=lspec.nb_channels,
+            ).astype(jnp.float32)
+        )
 
-    # Channel gram of the OT-matched features, shaped like phi_t's leading
-    # channel axis, blended into the translated style statistics.
-    g = f_matched.T @ f_matched  # [C, C]
-    g = g / max(np.linalg.norm(g), 1e-12)
-    c = phi_t.shape[0]
-    diag = np.diag(g)[:c]
-    correction = phi_t * (1.0 + 0.5 * (diag / max(diag.mean(), 1e-12) - 1.0))[
-        :, None, None
-    ]
+    g_ot = gram(f_ot)
+    g_c = gram({i: jnp.asarray(fc[j][None]) for j, i in enumerate(style_ids)})
+    g_s = gram({i: jnp.asarray(fs[j][None]) for j, i in enumerate(style_ids)})
+    return g_ot, g_c, g_s
+
+
+def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):
+    """Style target with the full OT-translated gram blended in (config
+    5's "OT loss").  The correction is the DELTA between the translated
+    and untranslated relu'd-tap grams — a same-space difference, so the
+    relu-vs-raw statistic mismatch cancels and the correction is exactly
+    zero when the transport is the identity (OT-off ≡ reference target).
+    Round 2's diagonal-rescale heuristic is gone: the translated
+    statistic participates as a full gram."""
+    g_ot, g_c, _ = ot_translated_gram(
+        engine, style_audio, content_audio, n_components
+    )
     return np.asarray(
-        l2_normalize(jnp.asarray(correction), axes=(1, 2))
+        l2_normalize(jnp.asarray(phi_t + 0.5 * (g_ot - g_c)), axes=(1, 2))
+    )
+
+
+def transfer_exact(
+    engine: StyleTransfer,
+    content_audio: np.ndarray,
+    style_audio: np.ndarray,
+    mesh,
+    epochs: int | None = None,
+    max_style_examples: int = 5,
+) -> LongformResult:
+    """Exact long-form mode: ONE window spanning the whole clip,
+    time-sharded over the mesh with halo exchange (parallel/halo.py).
+
+    Numerics are identical to running the transfer on a single giant
+    device: one global gram over the full sequence, no chunk seams, no
+    crossfade, content features preserved at every sample. Style
+    statistics stay chunk-averaged exactly like the reference
+    (methods.py:97-111) — only the OPTIMIZED window is global. The
+    per-epoch L-BFGS restarts and the ``< early_stop_evals`` stop follow
+    the engine's spec; each epoch is one jitted sharded program.
+
+    The clip is trimmed to a multiple of mesh_size * 512 samples (equal
+    shards; shard length divisible by the STFT frame step so gamma != 0
+    stays exact).
+    """
+    from audio_style_transfer_tpu.parallel.halo import (
+        make_sharded_embeds,
+        make_sharded_loss,
+    )
+    from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
+    from audio_style_transfer_tpu.transfer.lbfgs import (
+        LBFGSOptions,
+        lbfgs_minimize,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = engine.spec
+    epochs = epochs or spec.epochs
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    quantum = n_dev * 512
+    t_total = (len(content_audio) // quantum) * quantum
+    if t_total == 0:
+        raise ValueError(
+            f"content ({len(content_audio)} samples) shorter than one "
+            f"{quantum}-sample shard quantum of the {n_dev}-device mesh"
+        )
+    content = content_audio[:t_total]
+
+    # Reference-semantics style statistics (chunk-averaged).
+    phi_t = engine.get_style_phi(style_audio, max_examples=max_style_examples)
+    phi_s = engine.get_style_phi(content_audio, max_examples=max_style_examples)
+
+    # Full-sequence content targets through ONE exact sharded encoder pass.
+    shard_x = NamedSharding(mesh, P(None, axis))
+    xq_c = jax.device_put(
+        jnp.asarray(mu_law_numpy(content[None]), jnp.float32), shard_x
+    )
+    embeds_fn = jax.jit(
+        make_sharded_embeds(engine.params, engine.cfg, engine.loss_spec, mesh,
+                            axis_name=axis)
+    )
+    phi_c, phi_full = embeds_fn(xq_c)
+    phi = l2_normalize(
+        phi_full.astype(jnp.float32) + jnp.asarray(phi_t) - jnp.asarray(phi_s),
+        axes=(1, 2),
+    )
+
+    loss_fn = make_sharded_loss(
+        engine.params, phi_c, phi, engine.cfg, engine.loss_spec, mesh,
+        axis_name=axis,
+    )
+    vg = jax.value_and_grad(loss_fn)
+    opts = LBFGSOptions(
+        maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
+    )
+    epoch_fn = jax.jit(lambda x: lbfgs_minimize(vg, x, opts))
+
+    x = jax.device_put(jnp.full((1, t_total), 1e-6, jnp.float32), shard_x)
+    metrics, evals = [], []
+    done = 0
+    for _ in range(epochs):
+        res = epoch_fn(x)
+        x = res.x
+        metrics.append(float(res.f))
+        evals.append(int(res.n_evals))
+        done += 1
+        if evals[-1] < spec.early_stop_evals:
+            break
+
+    audio = inv_mu_law_numpy(np.asarray(x[0]))
+    return LongformResult(
+        audio=audio,
+        per_window={
+            "metrics": np.asarray(metrics, np.float32),
+            "evals": np.asarray(evals, np.int32),
+            "epochs_done": done,
+            "x": np.asarray(x),
+        },
     )
 
 

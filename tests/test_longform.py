@@ -6,6 +6,7 @@ from audio_style_transfer_tpu.models import WaveNetAEConfig, init_params
 from audio_style_transfer_tpu.transfer import StyleTransfer, TransferSpec
 from audio_style_transfer_tpu.transfer.longform import (
     chunk_audio,
+    transfer_exact,
     transfer_longform,
     _stitch,
 )
@@ -77,6 +78,72 @@ def test_transfer_longform_with_ot(engine, capsys):
     assert res.audio.shape == (4096 * 2,)
     assert np.all(np.isfinite(res.audio))
     assert "OT transform" in capsys.readouterr().out
+
+
+def test_ot_translated_gram_moves_toward_style():
+    """The full OT-translated gram (content features reconstructed in the
+    OT-matched palette, per style layer) must be finite, measurably
+    different from the untranslated content gram, and strictly CLOSER to
+    the style gram — the transport moved the statistic in the style
+    direction (VERDICT r2 weak #6: the OT path must be tested for effect,
+    not just finiteness).
+
+    Runs at the REAL encoder geometry (30 layers, width 128, stack 0,
+    T=16384): at toy widths the gram statistic barely distinguishes the
+    signals (|g_c - g_s| ~ 1e-2) and the property is not resolvable."""
+    from audio_style_transfer_tpu.transfer.longform import ot_translated_gram
+
+    engine = StyleTransfer(
+        TransferSpec(stack=0, epochs=1, write_artifacts=False),
+        init_params(jax.random.PRNGKey(0), WaveNetAEConfig()),
+    )
+    t = np.arange(16384) / 16000.0
+    # Spectrally distinct clips (the bench's pachelbel/organ stand-ins).
+    f = 220.0 * 2 ** (np.floor(t * 4) % 8 / 4.0)
+    content = (0.4 * np.sin(2 * np.pi * f * t)
+               + 0.2 * np.sin(2 * np.pi * 2 * f * t)).astype(np.float32)
+    style = sum(
+        0.25 / (k + 1) * np.sin(2 * np.pi * 110 * (k + 1) * t + 0.1 * k)
+        for k in range(8)
+    ).astype(np.float32)
+
+    g_ot, g_c, g_s = ot_translated_gram(engine, style, content, n_components=8)
+
+    assert g_ot.shape == g_s.shape
+    assert np.all(np.isfinite(g_ot))
+    moved = np.linalg.norm(g_ot - g_c)
+    assert moved > 0.1, f"OT transform had no measurable effect ({moved})"
+    d_ot = np.linalg.norm(g_ot - g_s)
+    d_raw = np.linalg.norm(g_c - g_s)
+    assert d_ot < d_raw, (
+        f"translated gram is not style-closer: |g_ot-g_s|={d_ot:.4f} >= "
+        f"|g_c-g_s|={d_raw:.4f}"
+    )
+
+
+def test_transfer_exact_mesh_matches_single_device(engine):
+    """Exact mode (one giant time-sharded window) on the 8-device CPU mesh
+    must match the same optimization on a 1-device mesh — the halo
+    exchange, psum'd global gram, and sharded L-BFGS iterates reproduce
+    single-giant-device numerics end to end."""
+    from audio_style_transfer_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    content = rng.uniform(-0.5, 0.5, 4096 * 8 + 300).astype(np.float32)
+    style = rng.uniform(-0.5, 0.5, 4096 * 2).astype(np.float32)
+    res8 = transfer_exact(engine, content, style, make_mesh(8), epochs=1)
+    res1 = transfer_exact(engine, content, style, make_mesh(1), epochs=1)
+    # one global window, trimmed to the shard quantum
+    assert res8.audio.shape == (4096 * 8,)
+    assert np.all(np.isfinite(res8.audio))
+    # The sharded loss/gradient themselves are equality-tested to 1e-4 in
+    # tests/test_halo.py; across a full L-BFGS epoch the f32 reduction-
+    # order noise compounds chaotically on noise clips (see
+    # transfer/composed_parity.py docstring), so the TRAJECTORY check is
+    # the 1% north-star bound, not bit equality.
+    np.testing.assert_allclose(
+        res8.per_window["metrics"], res1.per_window["metrics"], rtol=1e-2
+    )
 
 
 def test_transfer_longform_sharded_over_mesh(engine):
