@@ -24,6 +24,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     if not (args.tfrecord_path and args.savedir):
         raise RuntimeError("need --tfrecord_path and --savedir")

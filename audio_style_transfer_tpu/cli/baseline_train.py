@@ -25,6 +25,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     if not args.train_path:
         raise RuntimeError("No --train_path specified.")

@@ -60,6 +60,9 @@ def discover_files(source_path: str, npy_only: bool = False):
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if not args.save_path:

@@ -50,6 +50,9 @@ def get_path(figdir: str, filename: str, stack, length: int) -> str:
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     import jax

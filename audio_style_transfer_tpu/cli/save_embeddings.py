@@ -48,6 +48,9 @@ def latest_checkpoint(expdir: str) -> str:
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     if args.checkpoint_path:
         checkpoint_path = args.checkpoint_path

@@ -153,6 +153,9 @@ def piece_work(args):
 
 
 def main(argv=None):
+    from audio_style_transfer_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     piece_work(args)
 

@@ -188,7 +188,7 @@ def ot_translated_gram(engine, style_audio, content_audio, n_components):
     the transport moved the statistic in the style direction.
     """
     from audio_style_transfer_tpu.analysis.nmf import nmf, nmf_transform
-    from audio_style_transfer_tpu.analysis.ot import compute_permutation
+    from audio_style_transfer_tpu.analysis.ot import ot_admm, transform_palette
     from audio_style_transfer_tpu.models.wavenet_ae import encoder_extracts
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
     from audio_style_transfer_tpu.transfer.grams import style_gram
@@ -204,49 +204,53 @@ def ot_translated_gram(engine, style_audio, content_audio, n_components):
     def _relu_taps(params, xq):
         extracts, _ = encoder_extracts(params, xq, engine.cfg,
                                        needed_taps=style_ids)
-        return [
-            jnp.maximum(extracts[i].astype(jnp.float32), 0.0)
-            for i in style_ids
-        ]
+        return jnp.stack(
+            [jnp.maximum(extracts[i][0].astype(jnp.float32), 0.0)
+             for i in style_ids]
+        )  # [L, T, C]
 
     def taps(aud):
         xq = jnp.asarray(mu_law_numpy(aud[None, :window]), jnp.float32)
-        return [np.asarray(a[0]) for a in _relu_taps(engine.params, xq)]
+        return _relu_taps(engine.params, xq)
 
     fc, fs = taps(content_audio), taps(style_audio)
 
-    rec_errs, pal_dists, f_ot = [], [], {}
-    for j, i in enumerate(style_ids):
-        _, hc = nmf(fc[j], n_components)  # content palette [k, C]
-        _, hs = nmf(fs[j], n_components)  # style palette   [k, C]
-        wc, ws = np.asarray(hc), np.asarray(hs)
-        w_matched = compute_permutation(wc, ws)  # [k, C]
-        h = np.asarray(nmf_transform(fc[j], wc))  # [T, k]
-        f_ot[i] = jnp.asarray((h @ w_matched)[None])  # [1, T, C]
-        rec_errs.append(
-            np.linalg.norm(fc[j] - h @ wc) / max(np.linalg.norm(fc[j]), 1e-12)
+    # ALL per-layer NMFs + OTs batched into one jitted program: the
+    # layer-loop version paid the nmf executable's per-process load (~10 s
+    # cache-warm) plus 30+ tunnel dispatches — ~68 s of the 60-s long-form
+    # run; vmapped it is one compile + one dispatch (~2 s warm).
+    @jax.jit
+    def _translate(fc, fs):
+        palette = lambda x: nmf(x, n_components)[1]  # [k, C]
+        wc = jax.vmap(palette)(fc)  # content palettes [L, k, C]
+        ws = jax.vmap(palette)(fs)  # style palettes   [L, k, C]
+        plans = jax.vmap(lambda a, b: ot_admm(a, b))(wc, ws)
+        wm = jax.vmap(transform_palette)(wc, ws, plans)  # matched [L, k, C]
+        h = jax.vmap(nmf_transform)(fc, wc)  # activations [L, T, k]
+        f_ot = jnp.einsum("ltk,lkc->ltc", h, wm)
+        fro = lambda a: jnp.sqrt(jnp.sum(jnp.square(a), axis=(-2, -1)))
+        rec_err = fro(fc - jnp.einsum("ltk,lkc->ltc", h, wc)) / jnp.maximum(
+            fro(fc), 1e-12
         )
-        pal_dists.append(
-            np.linalg.norm(wc - w_matched) / max(np.linalg.norm(wc), 1e-12)
-        )
+        pal_dist = fro(wc - wm) / jnp.maximum(fro(wc), 1e-12)
+        return f_ot, rec_err, pal_dist
+
+    f_ot, rec_errs, pal_dists = _translate(fc, fs)
     print(
-        f"OT transform: nmf rec err {np.mean(rec_errs):.4f}, "
-        f"palette shift {np.mean(pal_dists):.4f} "
+        f"OT transform: nmf rec err {float(jnp.mean(rec_errs)):.4f}, "
+        f"palette shift {float(jnp.mean(pal_dists)):.4f} "
         f"(mean over {len(style_ids)} layers)"
     )
 
-    def gram(tap_map):
-        return np.asarray(
-            style_gram(
-                tap_map, lspec.style_layer_ids, gatys=lspec.gatys,
-                nb_channels=lspec.nb_channels,
-            ).astype(jnp.float32)
-        )
+    @jax.jit
+    def _gram(stack):
+        tap_map = {i: stack[j][None] for j, i in enumerate(style_ids)}
+        return style_gram(
+            tap_map, lspec.style_layer_ids, gatys=lspec.gatys,
+            nb_channels=lspec.nb_channels,
+        ).astype(jnp.float32)
 
-    g_ot = gram(f_ot)
-    g_c = gram({i: jnp.asarray(fc[j][None]) for j, i in enumerate(style_ids)})
-    g_s = gram({i: jnp.asarray(fs[j][None]) for j, i in enumerate(style_ids)})
-    return g_ot, g_c, g_s
+    return np.asarray(_gram(f_ot)), np.asarray(_gram(fc)), np.asarray(_gram(fs))
 
 
 def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):

@@ -61,6 +61,19 @@ def report() -> str:
     return _GLOBAL_TIMER.report()
 
 
+def enable_compile_cache(path: str = "/tmp/ast_tpu_xla_cache") -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    The fused multi-epoch transfer programs take ~1 min to compile cold
+    and seconds to reload; bench.py has always enabled this, and every CLI
+    calls it at startup so repeat runs skip the compile (a cache-cold CLI
+    run measured 122 s vs ~55 s warm)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """Capture a device trace via jax.profiler for TensorBoard/XProf."""
