@@ -153,11 +153,13 @@ def compute_permutation(w1, w2, verbose: bool = False):
 
     Returns an array with W1's row count and W2's feature space.  With
     ``verbose`` the solver's convergence diagnostics are printed (reference
-    optimal_transport.py:119-125 equivalent).
+    optimal_transport.py:119-125 equivalent) AFTER the solve — the in-loop
+    ``ot_admm(verbose=True)`` streaming uses jax.debug.print, which some
+    hosted runtimes (axon) reject; pass it explicitly when on CPU/TPU-vm.
     """
     plan, info = ot_admm(
         jnp.asarray(w1, jnp.float32), jnp.asarray(w2, jnp.float32),
-        verbose=verbose, return_info=True,
+        return_info=True,
     )
     if verbose:
         print(
@@ -167,3 +169,17 @@ def compute_permutation(w1, w2, verbose: bool = False):
             f"d_aux={[f'{float(v):.3e}' for v in info['d_aux']]}"
         )
     return np.asarray(transform_palette(w1, w2, plan))
+
+
+if __name__ == "__main__":
+    # Runnable smoke demo matching the reference's __main__ block
+    # (reference optimal_transport.py:165-189): OT-match a random 5-atom
+    # "bass" palette to a 10-atom "flute" palette over 128 features.
+    w_bass = np.random.rand(5, 128)
+    w_flute = np.random.rand(10, 128)
+    w_bass2flute = compute_permutation(w_bass, w_flute, verbose=True)
+    print("bass palette", w_bass.shape, "-> flute-matched", w_bass2flute.shape)
+    print(
+        "mean |w_bass2flute - w_bass| =",
+        float(np.mean(np.abs(w_bass2flute - w_bass))),
+    )
