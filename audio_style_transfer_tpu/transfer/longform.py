@@ -22,6 +22,7 @@ transport palette transform (reference utils.py:132-145), which is the
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,24 @@ from audio_style_transfer_tpu.signal.mu_law import inv_mu_law_numpy
 from audio_style_transfer_tpu.transfer.engine import StyleTransfer
 from audio_style_transfer_tpu.transfer.grams import l2_normalize
 from audio_style_transfer_tpu.transfer.losses import transfer_embeds
+
+# The jitted helpers below live at MODULE level with hashable static args
+# (the frozen config dataclasses): defining them inside the driver
+# functions handed jax.jit a fresh function object per call, so every
+# transfer_longform/ot_translated_gram invocation re-traced and re-loaded
+# its executables (~10 s per program via the persistent cache, much more
+# cold) — bench.py alone calls the long-form driver twice per run.
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lspec"))
+def _window_targets(params, wins_q, pt, ps, cfg, lspec):
+    """Per-window (content embed, translated style gram) in ONE program."""
+
+    def one(xq):
+        c, s = transfer_embeds(params, xq[None], cfg, lspec)
+        return c, l2_normalize(s + pt - ps, axes=(1, 2))
+
+    return jax.lax.map(one, wins_q)
 
 
 def chunk_audio(audio: np.ndarray, window: int) -> np.ndarray:
@@ -97,19 +116,13 @@ def transfer_longform(
     # tunnel traffic for 58 windows; measured 27 s of a 182 s run).
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
 
-    def _window_targets(params, wins_q, pt, ps):
-        def one(xq):
-            c, s = transfer_embeds(params, xq[None], engine.cfg,
-                                   engine.loss_spec)
-            return c, l2_normalize(s + pt - ps, axes=(1, 2))
-
-        return jax.lax.map(one, wins_q)
-
-    phi_cs, phis = jax.jit(_window_targets)(
+    phi_cs, phis = _window_targets(
         engine.params,
         jnp.asarray(mu_law_numpy(windows), jnp.float32),
         jnp.asarray(phi_t),
         jnp.asarray(phi_s),
+        cfg=engine.cfg,
+        lspec=engine.loss_spec,
     )
 
     if mesh is None:
@@ -187,70 +200,78 @@ def ot_translated_gram(engine, style_audio, content_audio, n_components):
     g_ot differs measurably from g_c and is strictly CLOSER to g_s —
     the transport moved the statistic in the style direction.
     """
-    from audio_style_transfer_tpu.analysis.nmf import nmf, nmf_transform
-    from audio_style_transfer_tpu.analysis.ot import ot_admm, transform_palette
-    from audio_style_transfer_tpu.models.wavenet_ae import encoder_extracts
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
-    from audio_style_transfer_tpu.transfer.grams import style_gram
 
     window = engine.spec.batch_size
     lspec = engine.loss_spec
     style_ids = tuple(sorted(set(lspec.style_layer_ids)))
 
-    # One jitted program per encoder pass — running the 30-layer encoder
-    # eagerly dispatches every op through the (remote) runtime one at a
-    # time, measured ~35 s/pass on the tunnel vs milliseconds jitted.
-    @jax.jit
-    def _relu_taps(params, xq):
-        extracts, _ = encoder_extracts(params, xq, engine.cfg,
-                                       needed_taps=style_ids)
-        return jnp.stack(
-            [jnp.maximum(extracts[i][0].astype(jnp.float32), 0.0)
-             for i in style_ids]
-        )  # [L, T, C]
-
     def taps(aud):
         xq = jnp.asarray(mu_law_numpy(aud[None, :window]), jnp.float32)
-        return _relu_taps(engine.params, xq)
+        return _relu_taps(engine.params, xq, cfg=engine.cfg,
+                          style_ids=style_ids)
 
     fc, fs = taps(content_audio), taps(style_audio)
 
-    # ALL per-layer NMFs + OTs batched into one jitted program: the
-    # layer-loop version paid the nmf executable's per-process load (~10 s
-    # cache-warm) plus 30+ tunnel dispatches — ~68 s of the 60-s long-form
-    # run; vmapped it is one compile + one dispatch (~2 s warm).
-    @jax.jit
-    def _translate(fc, fs):
-        palette = lambda x: nmf(x, n_components)[1]  # [k, C]
-        wc = jax.vmap(palette)(fc)  # content palettes [L, k, C]
-        ws = jax.vmap(palette)(fs)  # style palettes   [L, k, C]
-        plans = jax.vmap(lambda a, b: ot_admm(a, b))(wc, ws)
-        wm = jax.vmap(transform_palette)(wc, ws, plans)  # matched [L, k, C]
-        h = jax.vmap(nmf_transform)(fc, wc)  # activations [L, T, k]
-        f_ot = jnp.einsum("ltk,lkc->ltc", h, wm)
-        fro = lambda a: jnp.sqrt(jnp.sum(jnp.square(a), axis=(-2, -1)))
-        rec_err = fro(fc - jnp.einsum("ltk,lkc->ltc", h, wc)) / jnp.maximum(
-            fro(fc), 1e-12
-        )
-        pal_dist = fro(wc - wm) / jnp.maximum(fro(wc), 1e-12)
-        return f_ot, rec_err, pal_dist
-
-    f_ot, rec_errs, pal_dists = _translate(fc, fs)
+    f_ot, rec_errs, pal_dists = _ot_translate(fc, fs,
+                                              n_components=n_components)
     print(
         f"OT transform: nmf rec err {float(jnp.mean(rec_errs)):.4f}, "
         f"palette shift {float(jnp.mean(pal_dists)):.4f} "
         f"(mean over {len(style_ids)} layers)"
     )
 
-    @jax.jit
-    def _gram(stack):
-        tap_map = {i: stack[j][None] for j, i in enumerate(style_ids)}
-        return style_gram(
-            tap_map, lspec.style_layer_ids, gatys=lspec.gatys,
-            nb_channels=lspec.nb_channels,
-        ).astype(jnp.float32)
+    gram = functools.partial(_stack_gram, lspec=lspec, style_ids=style_ids)
+    return np.asarray(gram(f_ot)), np.asarray(gram(fc)), np.asarray(gram(fs))
 
-    return np.asarray(_gram(f_ot)), np.asarray(_gram(fc)), np.asarray(_gram(fs))
+
+@functools.partial(jax.jit, static_argnames=("cfg", "style_ids"))
+def _relu_taps(params, xq, cfg, style_ids):
+    """relu'd [L, T, C] style-layer taps — one jitted encoder pass
+    (running the 30-layer encoder eagerly dispatches every op through the
+    remote runtime one at a time, ~35 s/pass on the tunnel)."""
+    from audio_style_transfer_tpu.models.wavenet_ae import encoder_extracts
+
+    extracts, _ = encoder_extracts(params, xq, cfg, needed_taps=style_ids)
+    return jnp.stack(
+        [jnp.maximum(extracts[i][0].astype(jnp.float32), 0.0)
+         for i in style_ids]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_components",))
+def _ot_translate(fc, fs, n_components: int):
+    """ALL per-layer NMFs + OTs batched into one jitted program: the
+    layer-loop version paid the nmf executable's per-process load (~10 s
+    cache-warm) plus 30+ tunnel dispatches — ~68 s of the 60-s long-form
+    run; vmapped it is one compile + one dispatch (~2 s warm)."""
+    from audio_style_transfer_tpu.analysis.nmf import nmf, nmf_transform
+    from audio_style_transfer_tpu.analysis.ot import ot_admm, transform_palette
+
+    palette = lambda x: nmf(x, n_components)[1]  # [k, C]
+    wc = jax.vmap(palette)(fc)  # content palettes [L, k, C]
+    ws = jax.vmap(palette)(fs)  # style palettes   [L, k, C]
+    plans = jax.vmap(lambda a, b: ot_admm(a, b))(wc, ws)
+    wm = jax.vmap(transform_palette)(wc, ws, plans)  # matched [L, k, C]
+    h = jax.vmap(nmf_transform)(fc, wc)  # activations [L, T, k]
+    f_ot = jnp.einsum("ltk,lkc->ltc", h, wm)
+    fro = lambda a: jnp.sqrt(jnp.sum(jnp.square(a), axis=(-2, -1)))
+    rec_err = fro(fc - jnp.einsum("ltk,lkc->ltc", h, wc)) / jnp.maximum(
+        fro(fc), 1e-12
+    )
+    pal_dist = fro(wc - wm) / jnp.maximum(fro(wc), 1e-12)
+    return f_ot, rec_err, pal_dist
+
+
+@functools.partial(jax.jit, static_argnames=("lspec", "style_ids"))
+def _stack_gram(stack, lspec, style_ids):
+    from audio_style_transfer_tpu.transfer.grams import style_gram
+
+    tap_map = {i: stack[j][None] for j, i in enumerate(style_ids)}
+    return style_gram(
+        tap_map, lspec.style_layer_ids, gatys=lspec.gatys,
+        nb_channels=lspec.nb_channels,
+    ).astype(jnp.float32)
 
 
 def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):
