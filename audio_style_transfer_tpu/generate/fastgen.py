@@ -59,10 +59,14 @@ def encode(wav_data: np.ndarray, params: Params, sample_length: int = 64000,
         wav_data, sample_length, cfg.ae_hop_length
     )
     x_quantized = mu_law(jnp.asarray(wav_data, jnp.float32))
-    _, encoding = jax.jit(encoder_extracts, static_argnums=2)(
-        params, x_quantized, cfg
-    )
+    _, encoding = _encode_jitted(params, x_quantized, cfg)
     return np.asarray(encoding)
+
+
+# Module-level jit wrappers: re-wrapping with jax.jit inside encode()/
+# synthesize() created a fresh cache per call, so CLI batch loops
+# re-traced (and re-loaded executables) on every batch.
+_encode_jitted = jax.jit(encoder_extracts, static_argnums=2)
 
 
 # --------------------------------------------------------------------- #
@@ -241,6 +245,9 @@ def synthesize_jit(params: Params, encodings, rng, cfg: WaveNetAEConfig | None =
     return samples.T  # [B, T]
 
 
+_synthesize_jitted = jax.jit(synthesize_jit, static_argnums=3)
+
+
 def synthesize(
     encodings: np.ndarray,
     save_paths: list[str] | None = None,
@@ -273,8 +280,9 @@ def synthesize(
         raise ValueError(f"unsupported quantize={quantize!r} (use 'int8')")
     elif dtype is not None:
         params = jax.tree.map(lambda v: v.astype(dtype), params)
-    fn = jax.jit(synthesize_jit, static_argnums=3)
-    audio = np.asarray(fn(params, jnp.asarray(encodings), jax.random.PRNGKey(seed), cfg))
+    audio = np.asarray(_synthesize_jitted(
+        params, jnp.asarray(encodings), jax.random.PRNGKey(seed), cfg
+    ))
     if save_paths:
         save_batch(audio, save_paths, sr=sr)
     return audio
