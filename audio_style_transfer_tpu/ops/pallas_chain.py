@@ -654,8 +654,13 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
 def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
     c = cms[0].shape[-1]
     last = len(dils) - 1
-    plans = plan_groups(dils, clip_rows, c, wd.dtype.itemsize, emit)
     dx = dtaps[last]
+    # Plan with the ACTIVATION itemsize (== the forward's x.dtype; the
+    # cotangents carry it) so fwd and bwd agree on the partition even when
+    # the caller passes wider weights — _fwd_group/_bwd_group cast weights
+    # to the activation dtype themselves, so dx.dtype is what the kernels
+    # actually run at.
+    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit)
     for plan in reversed(plans):
         k0, k = plan.k0, plan.k
         gs = {

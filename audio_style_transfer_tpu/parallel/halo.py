@@ -161,17 +161,16 @@ def _local_grams(extracts, layer_ids: Sequence[int], gatys: bool):
     )
 
 
-def make_sharded_embeds(
-    params,
+def make_sharded_embeds_fn(
     cfg: WaveNetAEConfig,
     spec: LossSpec,
     mesh: Mesh,
     axis_name: str = "time",
 ):
-    """Jittable x [1, T] -> (content embed [T, C*], style gram) with exact
-    full-sequence semantics over the time-sharded mesh — the target-building
-    companion of :func:`make_sharded_loss` (one encoder pass, no chunking).
-    The content embed comes back sharded over T, the gram replicated."""
+    """Unbound flavour of :func:`make_sharded_embeds`:
+    (params, x [1, T]) -> (content embed [T, C*], style gram).  Taking
+    params as an ARGUMENT keeps the callable cacheable/jittable once per
+    (cfg, spec, mesh) instead of once per weights pytree."""
 
     def local(params, x_local):
         extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
@@ -187,7 +186,7 @@ def make_sharded_embeds(
             gram = gram[: spec.nb_channels]
         return c_local, gram
 
-    sharded = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, axis_name)),
@@ -195,27 +194,36 @@ def make_sharded_embeds(
         check_vma=False,
     )
 
+
+def make_sharded_embeds(
+    params,
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    mesh: Mesh,
+    axis_name: str = "time",
+):
+    """Jittable x [1, T] -> (content embed [T, C*], style gram) with exact
+    full-sequence semantics over the time-sharded mesh — the target-building
+    companion of :func:`make_sharded_loss` (one encoder pass, no chunking).
+    The content embed comes back sharded over T, the gram replicated."""
+    sharded = make_sharded_embeds_fn(cfg, spec, mesh, axis_name)
+
     def embeds(x):
         return sharded(params, x)
 
     return embeds
 
 
-def make_sharded_loss(
-    params,
-    phi_c,
-    phi_s,
+def make_sharded_loss_fn(
     cfg: WaveNetAEConfig,
     spec: LossSpec,
     mesh: Mesh,
     axis_name: str = "time",
 ):
-    """Build loss(x) over a time-sharded waveform with exact global numerics.
-
-    ``phi_c`` is the [T, C] content target (sharded over T on the mesh) and
-    ``phi_s`` the (replicated) gram target. Returns a jitted callable
-    x [1, T] -> scalar loss usable under jax.grad.
-    """
+    """Unbound flavour of :func:`make_sharded_loss`:
+    (params, x [1, T], phi_c, phi_s) -> scalar loss.  Targets/weights as
+    ARGUMENTS so one traced program serves every clip (see
+    transfer/longform.transfer_exact's per-(mesh, cfg) program cache)."""
 
     def local_loss(params, x_local, phi_c_local, phi_s_rep):
         extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
@@ -246,13 +254,31 @@ def make_sharded_loss(
             loss = loss + spec.gamma * reg
         return loss
 
-    sharded = shard_map(
+    return shard_map(
         local_loss,
         mesh=mesh,
         in_specs=(P(), P(None, axis_name), P(axis_name), P()),
         out_specs=P(),
         check_vma=False,
     )
+
+
+def make_sharded_loss(
+    params,
+    phi_c,
+    phi_s,
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    mesh: Mesh,
+    axis_name: str = "time",
+):
+    """Build loss(x) over a time-sharded waveform with exact global numerics.
+
+    ``phi_c`` is the [T, C] content target (sharded over T on the mesh) and
+    ``phi_s`` the (replicated) gram target. Returns a jittable callable
+    x [1, T] -> scalar loss usable under jax.grad.
+    """
+    sharded = make_sharded_loss_fn(cfg, spec, mesh, axis_name)
 
     def loss(x):
         return sharded(params, x, phi_c, phi_s)

@@ -59,9 +59,10 @@ class TransferSpec:
     # False forces the per-layer fused kernels for comparison.
     chain_encoder: bool | None = None
     # Pallas all-pairs gram kernel (TPU only). None = auto: on when the
-    # encoder is fused AND >= 16 style layers are selected (the single-
-    # HBM-read kernel only beats XLA's fused pairwise path once the L^2
-    # pair traffic dominates — measured crossover between L=10 and L=30).
+    # encoder runs EITHER Pallas flavour (fused or chained) AND >= 16
+    # style layers are selected (the single-HBM-read kernel only beats
+    # XLA's fused pairwise path once the L^2 pair traffic dominates —
+    # measured crossover between L=10 and L=30).
     fused_gram: bool | None = None
     # Carry the L-BFGS curvature memory across epochs instead of the
     # reference's cold per-epoch restarts (an artifact of SciPy's stateless
@@ -115,8 +116,10 @@ class StyleTransfer:
             # The all-pairs kernel pays off once the L^2 pair traffic
             # dominates: at L=10 (stack mode) the XLA pairwise path measures
             # ~equal (2.10 vs 2.14 ms/eval), at L=30 the kernel wins 1.55x
-            # (5.16 -> 3.33 ms/eval, v5e round-2 profile).
-            fused_gram = spec.fused_encoder and len(style_ids) >= 16
+            # (5.16 -> 3.33 ms/eval, v5e round-2 profile). Keyed off EITHER
+            # Pallas trunk flavour — chain_encoder=True alone (the fused
+            # encoder's successor) gets the same gram treatment.
+            fused_gram = (spec.fused_encoder or use_chain) and len(style_ids) >= 16
         else:
             fused_gram = spec.fused_gram
         self.loss_spec = LossSpec(
@@ -315,7 +318,7 @@ class StyleTransfer:
         key = (mesh, epochs)
         fn = self._mesh_fns.get(key)
         if fn is None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             axis = mesh.axis_names[0]
@@ -332,7 +335,7 @@ class StyleTransfer:
                     mesh=mesh,
                     in_specs=(P(), P(axis), P(axis), P(axis)),
                     out_specs=P(axis),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
             self._mesh_fns[key] = fn

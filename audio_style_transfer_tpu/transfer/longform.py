@@ -313,15 +313,8 @@ def transfer_exact(
     shards; shard length divisible by the STFT frame step so gamma != 0
     stays exact).
     """
-    from audio_style_transfer_tpu.parallel.halo import (
-        make_sharded_embeds,
-        make_sharded_loss,
-    )
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
-    from audio_style_transfer_tpu.transfer.lbfgs import (
-        LBFGSOptions,
-        lbfgs_minimize,
-    )
+    from audio_style_transfer_tpu.transfer.lbfgs import LBFGSOptions
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec = engine.spec
@@ -341,36 +334,28 @@ def transfer_exact(
     phi_t = engine.get_style_phi(style_audio, max_examples=max_style_examples)
     phi_s = engine.get_style_phi(content_audio, max_examples=max_style_examples)
 
+    opts = LBFGSOptions(
+        maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
+    )
+    embeds_fn, epoch_fn = _exact_programs(mesh, axis, engine.cfg,
+                                          engine.loss_spec, opts)
+
     # Full-sequence content targets through ONE exact sharded encoder pass.
     shard_x = NamedSharding(mesh, P(None, axis))
     xq_c = jax.device_put(
         jnp.asarray(mu_law_numpy(content[None]), jnp.float32), shard_x
     )
-    embeds_fn = jax.jit(
-        make_sharded_embeds(engine.params, engine.cfg, engine.loss_spec, mesh,
-                            axis_name=axis)
-    )
-    phi_c, phi_full = embeds_fn(xq_c)
+    phi_c, phi_full = embeds_fn(engine.params, xq_c)
     phi = l2_normalize(
         phi_full.astype(jnp.float32) + jnp.asarray(phi_t) - jnp.asarray(phi_s),
         axes=(1, 2),
     )
 
-    loss_fn = make_sharded_loss(
-        engine.params, phi_c, phi, engine.cfg, engine.loss_spec, mesh,
-        axis_name=axis,
-    )
-    vg = jax.value_and_grad(loss_fn)
-    opts = LBFGSOptions(
-        maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
-    )
-    epoch_fn = jax.jit(lambda x: lbfgs_minimize(vg, x, opts))
-
     x = jax.device_put(jnp.full((1, t_total), 1e-6, jnp.float32), shard_x)
     metrics, evals = [], []
     done = 0
     for _ in range(epochs):
-        res = epoch_fn(x)
+        res = epoch_fn(engine.params, x, phi_c, phi)
         x = res.x
         metrics.append(float(res.f))
         evals.append(int(res.n_evals))
@@ -388,6 +373,33 @@ def transfer_exact(
             "x": np.asarray(x),
         },
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _exact_programs(mesh, axis: str, cfg, lspec, opts):
+    """(embeds_fn, epoch_fn) for exact mode, traced ONCE per
+    (mesh, config, optimizer options) — weights and targets are program
+    ARGUMENTS, so repeated transfer_exact calls (or several clips) reuse
+    the executables instead of re-tracing them per invocation (the giant
+    T-global programs cost minutes cold, ~10 s even via the persistent
+    cache)."""
+    from audio_style_transfer_tpu.parallel.halo import (
+        make_sharded_embeds_fn,
+        make_sharded_loss_fn,
+    )
+    from audio_style_transfer_tpu.transfer.lbfgs import lbfgs_minimize
+
+    embeds_fn = jax.jit(make_sharded_embeds_fn(cfg, lspec, mesh, axis))
+    loss_sharded = make_sharded_loss_fn(cfg, lspec, mesh, axis)
+
+    @jax.jit
+    def epoch_fn(params, x, phi_c, phi):
+        vg = jax.value_and_grad(
+            lambda xx: loss_sharded(params, xx, phi_c, phi)
+        )
+        return lbfgs_minimize(vg, x, opts)
+
+    return embeds_fn, epoch_fn
 
 
 def _stitch(windows: list[np.ndarray], crossfade: int) -> np.ndarray:

@@ -193,9 +193,10 @@ def main():
     if args.suite:
         out["suite"] = run_suite(params, args, content, style)
     if args.longform:
-        # A longform failure must not cost the whole benchmark record —
-        # report the error in the JSON instead (strict mode still guards
-        # the Pallas path inside via the engine constructors).
+        # Under --no_strict a longform failure is reported in the JSON
+        # instead of costing the whole benchmark record; the default
+        # --strict re-raises so a regression fails loudly (same policy as
+        # the Pallas-compile guard).
         try:
             out["longform"] = run_longform(params, args)
         except Exception as e:  # pragma: no cover - defensive
@@ -222,6 +223,7 @@ def run_longform(params, args):
         # fully-fused single-clip program (optimize_batch mesh=None), so
         # the Pallas encoder pays exactly as in the north-star config.
         fused_encoder=args.fused,
+        chain_encoder=args.chain,
         write_artifacts=False,
     )
     try:
@@ -301,7 +303,8 @@ def run_suite(params, args, content, style):
     base = dict(
         batch_size=args.batch_size, epochs=args.epochs, maxiter=args.maxiter,
         early_stop_evals=0, compute_dtype=args.precision,
-        fused_encoder=args.fused, write_artifacts=False,
+        fused_encoder=args.fused, chain_encoder=args.chain,
+        write_artifacts=False,
     )
 
     def targets(engine, gatys=False):
