@@ -84,28 +84,32 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, gamma):
     """H·g via the L-BFGS two-loop recursion on a circular history.
 
     Invalid slots carry rho=0, which zeroes their contribution, so no
-    branching is needed — the loop is fully unrolled-friendly for XLA.
+    branching is needed.  Both loops are UNROLLED (m is static, 10 by
+    default): as `lax.fori_loop`s the 2m data-dependent vdot/axpy steps
+    each paid while-loop sequencing overhead per L-BFGS iteration — a
+    measurable slice of the ~190 us/eval loop overhead in the fused
+    transfer program — while straight-line code lets XLA fuse each
+    (vdot, axpy) pair and schedule the chain without loop bookkeeping.
+    Same ops in the same order: bit-identical results.
     """
     m = rho.shape[0]
     q = g
-    alpha = jnp.zeros((m,), g.dtype)
-
-    def bwd(i, carry):
-        q, alpha = carry
+    alpha = []
+    for i in range(m):
         idx = (head - 1 - i) % m
         a = rho[idx] * jnp.vdot(s_hist[idx], q)
         q = q - a * y_hist[idx]
-        return q, alpha.at[idx].set(a)
-
-    q, alpha = jax.lax.fori_loop(0, m, bwd, (q, alpha))
+        alpha.append((idx, a))
     r = gamma * q
-
-    def fwd(i, r):
-        idx = (head - count + i) % m
+    for i in range(m - 1, -1, -1):
+        idx, a = alpha[i]
+        # Note: iterating the stored (idx, a) pairs in reverse is exactly
+        # the forward loop's (head - count + i) % m order for the count
+        # valid slots; invalid slots have rho=0 and contribute nothing
+        # regardless of visit order.
         beta = rho[idx] * jnp.vdot(y_hist[idx], r)
-        return r + s_hist[idx] * (alpha[idx] - beta)
-
-    return jax.lax.fori_loop(0, m, fwd, r)
+        r = r + s_hist[idx] * (a - beta)
+    return r
 
 
 def _cubic_min(a, fa, dfa, b, fb, dfb):
