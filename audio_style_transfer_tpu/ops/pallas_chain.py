@@ -7,10 +7,15 @@ roofline with most of the gap in exactly that traffic (BENCH_NOTES.md;
 cost driver reference model.py:96-116).  This module chains GROUPS of
 consecutive residual blocks into single kernel launches:
 
-  * forward: one launch per group; the group input is DMA'd once with a
-    halo covering the group's receptive field, every intermediate
-    activation lives only in VMEM (shrinking valid windows per layer),
-    and only the taps a caller asks for are written back to HBM;
+  * forward: one launch per group; the group input arrives as THREE
+    BlockSpec-pipelined views of the same HBM array (center tile + a
+    clamped left/right halo block) assembled into one VMEM window, every
+    intermediate activation lives only in VMEM (shrinking valid windows
+    per layer), and only the taps a caller asks for are written back to
+    HBM.  Letting the Pallas pipeline drive all HBM traffic (instead of
+    the round-3 manual DMA ping-pong) overlaps every load/store with the
+    previous tile's compute and removed ~35% of the forward kernel time
+    (92.7 -> 59.3 us for the [1,2,4,8] group, round-3 A/B);
   * relu masks: the forward stashes ONE int8 array per layer packing
     the output mask ``(x_{j+1} > 0)`` (bit 0) and the gate mask
     ``(y_j > 0)`` (bit 1) — the backward then needs NO activation
@@ -20,10 +25,10 @@ consecutive residual blocks into single kernel launches:
     HBM traffic, and because layer j's output mask IS layer j+1's input
     mask, the backward loads each packed array exactly once per tile
     (adjacent layers share it through a 3-slot VMEM rotation);
-  * backward: one launch per group; the output cotangent is DMA'd once
-    with the group halo, the cotangent chain stays in VMEM, and per-tap
-    loss cotangents (style gram / content) are injected at the right
-    layer in-kernel.
+  * backward: one launch per group; the output cotangent, packed masks
+    and per-tap loss cotangents (style gram / content) arrive through
+    the same pipelined center+halo scheme, the cotangent chain stays in
+    VMEM, and tap cotangents are injected at the right layer in-kernel.
 
 The custom VJP sits at the WHOLE-TRUNK level (:func:`fused_trunk`): its
 outputs are only the taps the transfer loss consumes, so at batch > 1
@@ -60,7 +65,15 @@ _DMA_ALIGN = 32
 # halo rows cost < 1% extra matmul work at tile >= 2048).
 _REF_ALIGN = 16
 
-_SCOPED_VMEM_BUDGET = 13 * 1024 * 1024
+import os
+
+_SCOPED_VMEM_BUDGET = int(
+    os.environ.get("AST_CHAIN_VMEM_BUDGET", 13 * 1024 * 1024)
+)
+# Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
+# dilated-conv accumulator + relu'd operand + residual in flight), used
+# by the tile picker; env-overridable for tuning experiments.
+_INFLIGHT_BYTES = int(os.environ.get("AST_CHAIN_INFLIGHT", 12))
 
 
 def _al(v: int, m: int) -> int:
@@ -121,7 +134,7 @@ def _fwd_vmem(tile, halo, c, s, k):
         2 * ext * c * s            # input DMA ping-pong slots
         + 2 * ext * c * s          # chain ping-pong
         + 2 * tile * c             # packed int8 mask staging
-        + ext * c * (12 + 2 * s)   # y/z f32 + tap values in flight
+        + ext * c * (_INFLIGHT_BYTES + 2 * s)  # y/z f32 + taps in flight
         + k * 4 * c * c * s        # stacked weights
     )
 
@@ -133,7 +146,7 @@ def _bwd_vmem(tile, nk, c, s, k):
         + 2 * ext * c * s          # carry ping-pong
         + 3 * ext * c              # packed int8 mask slots (3-rotation)
         + 2 * ext * c * s          # tap-cotangent slots
-        + ext * c * (12 + 2 * s)
+        + ext * c * (_INFLIGHT_BYTES + 2 * s)
         + k * 4 * c * c * s
     )
 
@@ -143,6 +156,15 @@ def _bwd_vmem(tile, nk, c, s, k):
 _LAUNCH_ROWS = 24000
 _FWD_MM = 4
 _BWD_MM = 4
+# Per-(layer, tile-program) fixed cost in matmul-rows: each grid step
+# pays ~8 MXU instruction issues per layer (4 fwd + 4 bwd) whose
+# pipeline-fill/weight-load overhead is independent of the row count
+# (~0.14 us each, measured round-3 against a single whole-clip matmul:
+# a [2048,128]x[128,128] issue ran 0.57 us vs the 0.43 us pro-rata share
+# of one [16384,128] matmul).  Bigger tiles amortize it — this term is
+# what makes the DP value them.
+_TILE_FIXED_ROWS = int(os.environ.get("AST_CHAIN_TILE_FIXED", 5000))
+_MAX_TILE = int(os.environ.get("AST_CHAIN_MAX_TILE", 8192))
 
 
 def _group_cost(dils, clip_rows, c, itemsize):
@@ -151,7 +173,7 @@ def _group_cost(dils, clip_rows, c, itemsize):
     prefix = _prefix_halos(dils)
     nk = prefix[-1]
     tile = 1
-    while tile * 2 <= min(clip_rows, 4096) and clip_rows % (tile * 2) == 0:
+    while tile * 2 <= min(clip_rows, _MAX_TILE) and clip_rows % (tile * 2) == 0:
         tile *= 2
     best = None
     while tile >= 128:
@@ -167,6 +189,7 @@ def _group_cost(dils, clip_rows, c, itemsize):
                 2 * (_FWD_MM * a + _BWD_MM * n)
                 for a, n in zip(suffix, prefix[:-1])
             )
+            waste += len(dils) * _TILE_FIXED_ROWS
             cost = (clip_rows // tile) * waste + 2 * _LAUNCH_ROWS
             if best is None or cost < best[0]:
                 best = (cost, tile)
@@ -267,6 +290,48 @@ def _halo_load(x_ref, scratch, sems, i, tile, h, cp, start):
             right().wait()
 
 
+def _pow2_halo(halo: int, tile: int) -> int:
+    """Smallest power of two >= halo (so halo blocks tile the array).
+    halo <= tile and tile is a power of two, so the result divides tile."""
+    h = 1
+    while h < max(halo, 1):
+        h *= 2
+    assert tile % h == 0
+    return h
+
+
+def _halo_specs(tile: int, h: int, c: int, nblocks_fn):
+    """(center, left, right) BlockSpecs reading rows [i*tile - h,
+    (i+1)*tile + h) of a [rows, c] array in units of h-row blocks, with
+    the out-of-range edge blocks clamped in-range (the kernel zero-fills
+    clip edges itself).  ``nblocks_fn()`` -> rows // h at trace time."""
+    rt = tile // h
+    nb = nblocks_fn()
+    return [
+        pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        pl.BlockSpec((h, c), lambda i: (jnp.maximum(i * rt - 1, 0), 0)),
+        pl.BlockSpec((h, c), lambda i: (jnp.minimum((i + 1) * rt, nb - 1), 0)),
+    ]
+
+
+def _assemble(win_ref, c_blk, l_blk, r_blk, tile, h, pos, cp):
+    """Fill win_ref[0 : tile + 2h] with the halo window, zeroing the
+    halo rows that fall outside the current clip (pos in [0, cp))."""
+    win_ref[h : h + tile] = c_blk[...]
+    if h == 0:
+        return
+    win_ref[0:h] = l_blk[...]
+    win_ref[h + tile :] = r_blk[...]
+
+    @pl.when(pos == 0)
+    def _zl():
+        win_ref[0:h] = jnp.zeros((h, win_ref.shape[1]), win_ref.dtype)
+
+    @pl.when(pos == cp - 1)
+    def _zr():
+        win_ref[h + tile :] = jnp.zeros((h, win_ref.shape[1]), win_ref.dtype)
+
+
 def _tap3(r, off: int, d: int, n: int):
     """Rows (off-d, off, off+d), n long, of the in-register value ``r``.
     d < _REF_ALIGN shifts go through pltpu.roll in f32 (Mosaic's rotate
@@ -310,102 +375,47 @@ def _clip_mask(w: int, lead: int, pos, tile: int, cp: int, dtype):
 # --------------------------------------------------------------------- #
 
 
-def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
-    k, tile, h = plan.k, plan.tile, plan.halo
+def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, *refs):
+    k, tile = plan.k, plan.tile
     suffix = plan.suffix
     n_taps = len(plan.emits)
 
-    x_ref, wd_ref, bd_ref, wr_ref, br_ref = refs[:5]
-    tap_outs = refs[5 : 5 + n_taps]
-    cm_outs = refs[5 + n_taps : 5 + n_taps + k]
-    slots, chain, cm_stage, in_sems, out_sems = refs[5 + n_taps + k :]
+    x_c, x_l, x_r, wd_ref, bd_ref, wr_ref, br_ref = refs[:7]
+    tap_outs = refs[7 : 7 + n_taps]
+    cm_outs = refs[7 + n_taps : 7 + n_taps + k]
+    win = refs[7 + n_taps + k]
 
     i = pl.program_id(0)
     pos = jax.lax.rem(i, cp)
-    parity = jax.lax.rem(i, 2)
-    even = parity == 0
+    _assemble(win, x_c, x_l, x_r, tile, h, pos, cp)
 
-    @pl.when(i == 0)
-    def _first():
-        _halo_load(x_ref, slots.at[0], in_sems.at[0], i, tile, h, cp, True)
-
-    @pl.when((i + 1 < nprog) & even)
-    def _pf_odd():
-        _halo_load(x_ref, slots.at[1], in_sems.at[1], i + 1, tile, h, cp, True)
-
-    @pl.when((i + 1 < nprog) & ~even)
-    def _pf_even():
-        _halo_load(x_ref, slots.at[0], in_sems.at[0], i + 1, tile, h, cp, True)
-
-    @pl.when(even)
-    def _w_even():
-        _halo_load(x_ref, slots.at[0], in_sems.at[0], i, tile, h, cp, False)
-
-    @pl.when(~even)
-    def _w_odd():
-        _halo_load(x_ref, slots.at[1], in_sems.at[1], i, tile, h, cp, False)
-
-    def write(dst_ref, src_ref, sem):
-        return pltpu.make_async_copy(
-            src_ref, dst_ref.at[pl.ds(i * tile, tile)], sem
-        )
-
-    pending = {}  # (kind, slot) -> (dst_ref, src_ref, sem)
-
-    def start_write(kind, slot, dst_ref, src_ref, sem):
-        assert (kind, slot) not in pending
-        write(dst_ref, src_ref, sem).start()
-        pending[(kind, slot)] = (dst_ref, src_ref, sem)
-
-    def wait_write(kind, slot):
-        if (kind, slot) in pending:
-            write(*pending.pop((kind, slot))).wait()
-
-    x_in = slots[parity]  # [ext, C] value; data at [0, tile + 2h)
-
+    cur = win[...]
+    a_prev = h
     for j in range(k):
         d = plan.dils[j]
-        a_prev = h if j == 0 else suffix[j - 1]
         a_j = suffix[j]
         w_j = tile + 2 * a_j
-        slot = j % 2
-
-        base = (
-            jax.lax.slice_in_dim(x_in, h - a_prev, h + tile + a_prev)
-            if j == 0
-            else chain[(j - 1) % 2, pl.ds(h - a_prev, tile + 2 * a_prev)]
-        )
-        r = jnp.maximum(base, jnp.zeros((), base.dtype))
+        r = jnp.maximum(cur, jnp.zeros((), cur.dtype))
         off = a_prev - a_j
         left, cen, right = _tap3(r, off, d, w_j)
         y = _dot(left, wd_ref[j, 0])
         y += _dot(cen, wd_ref[j, 1])
         y += _dot(right, wd_ref[j, 2])
         y = y + bd_ref[j][None, :]
-        dtype = chain.dtype
+        dtype = cur.dtype
         v = jnp.maximum(y, 0.0).astype(dtype)
         z = _dot(v, wr_ref[j]) + br_ref[j][None, :]
-        out = jax.lax.slice_in_dim(base, off, off + w_j) + z.astype(dtype)
-
-        wait_write("tap", slot)
-        chain[slot, pl.ds(h - a_j, w_j)] = out
+        out = jax.lax.slice_in_dim(cur, off, off + w_j) + z.astype(dtype)
         if a_j > 0:
-            # SAME-padding fidelity: window rows outside the clip must stay
-            # zero (bias adds would otherwise leak into later layers' halo
-            # taps). Only the window HALO (a_j rows per side) can fall
-            # outside, and only on the clip-edge tiles — interior tiles
-            # skip the masking multiply entirely (~2 VPU passes/layer/tile
-            # saved; the mask-pack below reads the window CENTER, which is
-            # always in-clip, so it stays on the unmasked value).
-            @pl.when((pos == 0) | (pos == cp - 1))
-            def _mask_edges():
-                chain[slot, pl.ds(h - a_j, w_j)] = out * _clip_mask(
-                    w_j, a_j, pos, tile, cp, dtype
-                )
+            # SAME-padding fidelity: window HALO rows outside the clip
+            # must stay zero (bias adds would otherwise leak into later
+            # layers' halo taps).  _clip_mask is all-ones on interior
+            # tiles, so the multiply is exact everywhere (x * 1.0 == x
+            # in bf16) — measured noise-level next to the matmul chain.
+            out = out * _clip_mask(w_j, a_j, pos, tile, cp, dtype)
 
         # Packed mask: bit 0 = (x_{j+1} > 0) (this layer's output / next
         # layer's relu input), bit 1 = (y_j > 0) (the gate relu).
-        wait_write("cm", slot)
         # Pack in i32 (Mosaic has no i8 vector arithmetic), truncate once.
         xm_bit = (
             jax.lax.slice_in_dim(out, a_j, a_j + tile).astype(jnp.float32)
@@ -414,16 +424,14 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, *refs):
         ym_bit = (
             jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
         ).astype(jnp.int32)
-        cm_stage[slot] = (xm_bit + ym_bit + ym_bit).astype(jnp.int8)
-        start_write("cm", slot, cm_outs[j], cm_stage.at[slot],
-                    out_sems.at[slot, 0])
+        cm_outs[j][...] = (xm_bit + ym_bit + ym_bit).astype(jnp.int8)
 
         if j in plan.emits:
-            start_write("tap", slot, tap_outs[plan.emits.index(j)],
-                        chain.at[slot, pl.ds(h, tile)], out_sems.at[slot, 1])
-
-    for key in list(pending):
-        wait_write(*key)
+            tap_outs[plan.emits.index(j)][...] = jax.lax.slice_in_dim(
+                out, a_j, a_j + tile
+            )
+        cur = out
+        a_prev = a_j
 
 
 def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
@@ -432,19 +440,19 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
     Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
       bd [K, C]; wr [K, C, C]; br [K, C].
     Returns: (taps, cmasks) — taps[j] for j in plan.emits ([-1] is the
-      group output); cmasks[j] packs (x_{k0+j+1} > 0) in bit 0 and
-      (y_{k0+j} > 0) in bit 1, int8 [rows, C].
+    group output); cmasks[j] packs (x_{k0+j+1} > 0) in bit 0 and
+    (y_{k0+j} > 0) in bit 1, int8 [rows, C].
     """
     rows, c = x.shape
     assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
-    tile, h = plan.tile, plan.halo
-    ext = tile + 2 * h
+    tile = plan.tile
+    h = _pow2_halo(plan.halo, tile)
     nprog = rows // tile
     cp = clip_rows // tile
     n_taps = len(plan.emits)
     dtype = x.dtype
 
-    kernel = functools.partial(_fwd_group_kernel, plan, cp, nprog)
+    kernel = functools.partial(_fwd_group_kernel, plan, cp, h)
     f32 = jnp.float32
     out_shape = (
         [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
@@ -453,18 +461,14 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
     outs = pl.pallas_call(
         kernel,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=_halo_specs(tile, h, c, lambda: rows // h)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_taps + plan.k),
+        out_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0))]
+        * (n_taps + plan.k),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, ext, c), dtype),       # input slots
-            pltpu.VMEM((2, ext, c), dtype),       # chain ping-pong
-            pltpu.VMEM((2, tile, c), jnp.int8),   # packed-mask staging
-            pltpu.SemaphoreType.DMA((2, 3)),      # input halo sems
-            pltpu.SemaphoreType.DMA((2, 2)),      # write sems [slot, kind]
-        ],
-    )(x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype), br.astype(f32))
+        scratch_shapes=[pltpu.VMEM((tile + 2 * h, c), dtype)],
+    )(x, x, x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype),
+      br.astype(f32))
     return outs[:n_taps], outs[n_taps:]
 
 
