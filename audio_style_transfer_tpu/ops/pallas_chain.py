@@ -129,13 +129,18 @@ def _prefix_halos(dils):
 
 
 def _fwd_vmem(tile, halo, c, s, k):
-    ext = tile + 2 * halo
+    """Pipelined fwd kernel footprint: double-buffered input blocks
+    (center + 2 pow2-halo blocks), double-buffered tap/mask output
+    blocks (conservatively assuming every layer emits), the assembly
+    window scratch, live chain values, and the stacked weights."""
+    h = _pow2_halo(halo, tile)
+    ext = tile + 2 * h
     return (
-        2 * ext * c * s            # input DMA ping-pong slots
-        + 2 * ext * c * s          # chain ping-pong
-        + 2 * tile * c             # packed int8 mask staging
-        + ext * c * (_INFLIGHT_BYTES + 2 * s)  # y/z f32 + taps in flight
-        + k * 4 * c * c * s        # stacked weights
+        2 * ext * c * s                      # input pipeline buffers
+        + 2 * k * tile * c * (s + 1)         # tap + mask output buffers
+        + ext * c * s                        # window scratch
+        + ext * c * (_INFLIGHT_BYTES + 2 * s)  # y f32 + chain in flight
+        + k * 4 * c * c * s                  # stacked weights
     )
 
 
@@ -167,11 +172,20 @@ _TILE_FIXED_ROWS = int(os.environ.get("AST_CHAIN_TILE_FIXED", 5000))
 _MAX_TILE = int(os.environ.get("AST_CHAIN_MAX_TILE", 8192))
 
 
-def _group_cost(dils, clip_rows, c, itemsize):
-    """(cost, tile) for one candidate group, or None if infeasible."""
+def _group_cost(dils, clip_rows, c, itemsize, direction: str = "both"):
+    """(cost, tile) for one candidate group, or None if infeasible.
+
+    ``direction`` selects which kernel's VMEM model and halo-waste terms
+    constrain the plan: the pipelined forward and the manual-DMA backward
+    no longer share buffers, so each direction is planned independently
+    ("fwd"/"bwd"); "both" keeps the round-3 coupled behavior for callers
+    that run one plan through both kernels (parallel/halo's masked path).
+    """
     suffix, halo = _suffix_halos(dils)
     prefix = _prefix_halos(dils)
     nk = prefix[-1]
+    use_fwd = direction in ("fwd", "both")
+    use_bwd = direction in ("bwd", "both")
     tile = 1
     while tile * 2 <= min(clip_rows, _MAX_TILE) and clip_rows % (tile * 2) == 0:
         tile *= 2
@@ -180,16 +194,29 @@ def _group_cost(dils, clip_rows, c, itemsize):
         if (
             halo <= tile
             and nk <= tile
-            and _fwd_vmem(tile, halo, c, itemsize, len(dils))
-            <= _SCOPED_VMEM_BUDGET
-            and _bwd_vmem(tile, nk, c, itemsize, len(dils))
-            <= _SCOPED_VMEM_BUDGET
+            and (not use_fwd or _fwd_vmem(tile, halo, c, itemsize, len(dils))
+                 <= _SCOPED_VMEM_BUDGET)
+            and (not use_bwd or _bwd_vmem(tile, nk, c, itemsize, len(dils))
+                 <= _SCOPED_VMEM_BUDGET)
         ):
+            # Both directions keep the coupled waste model: the manual-
+            # DMA backward's per-layer time grows with the group's full
+            # extent beyond its own halo waste (serial mask-rotation
+            # waits) — a bwd plan relaxed to only its own waste terms
+            # chose [4,4,2] and ran 504 us vs the coupled [4,3,2,1]'s
+            # 477 (round-3 measurement).
             waste = sum(
                 2 * (_FWD_MM * a + _BWD_MM * n)
                 for a, n in zip(suffix, prefix[:-1])
             )
-            waste += len(dils) * _TILE_FIXED_ROWS
+            # The per-(layer, tile) fixed-issue term only models the
+            # PIPELINED forward.
+            if use_fwd:
+                waste += len(dils) * _TILE_FIXED_ROWS
+            # Launch penalty stays at the shared-plan calibration even
+            # for single-direction plans: halving it made the DP trade a
+            # launch for halo waste ([3,3,2,1,1] per stack) that measures
+            # slower than the [4,3,2,1] partition it replaces.
             cost = (clip_rows // tile) * waste + 2 * _LAUNCH_ROWS
             if best is None or cost < best[0]:
                 best = (cost, tile)
@@ -198,8 +225,15 @@ def _group_cost(dils, clip_rows, c, itemsize):
 
 
 @functools.lru_cache(maxsize=None)
-def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int, emit: tuple):
-    """Exact-DP partition of the layer stack into chained groups."""
+def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int,
+                emit: tuple, direction: str = "both"):
+    """Exact-DP partition of the layer stack into chained groups.
+
+    The forward and backward kernels are planned independently
+    (direction "fwd"/"bwd") since the pipelined forward and manual-DMA
+    backward have different VMEM footprints and halo-waste profiles;
+    "both" (the default, used by the halo-sharded path and tests) keeps
+    one shared partition satisfying both kernels."""
     n = len(dils)
     best = [None] * (n + 1)
     best[n] = (0.0, 0)
@@ -207,7 +241,7 @@ def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int, emit: tuple)
         for j in range(i + 1, n + 1):
             if best[j] is None:
                 continue
-            cand = _group_cost(dils[i:j], clip_rows, c, itemsize)
+            cand = _group_cost(dils[i:j], clip_rows, c, itemsize, direction)
             if cand is None:
                 continue
             total = cand[0] + best[j][0]
@@ -224,7 +258,7 @@ def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int, emit: tuple)
         g = dils[i : i + k]
         suffix, halo = _suffix_halos(g)
         prefix = _prefix_halos(g)
-        _, tile = _group_cost(g, clip_rows, c, itemsize)
+        _, tile = _group_cost(g, clip_rows, c, itemsize, direction)
         emits = tuple(sorted({j - i for j in emit if i <= j < i + k} | {k - 1}))
         plans.append(GroupPlan(i, g, tile, halo, suffix, prefix, emits))
         i += k
@@ -375,7 +409,8 @@ def _clip_mask(w: int, lead: int, pos, tile: int, cp: int, dtype):
 # --------------------------------------------------------------------- #
 
 
-def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, *refs):
+def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
+                      *refs):
     k, tile = plan.k, plan.tile
     suffix = plan.suffix
     n_taps = len(plan.emits)
@@ -383,13 +418,21 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, *refs):
     x_c, x_l, x_r, wd_ref, bd_ref, wr_ref, br_ref = refs[:7]
     tap_outs = refs[7 : 7 + n_taps]
     cm_outs = refs[7 + n_taps : 7 + n_taps + k]
-    win = refs[7 + n_taps + k]
+    im_out = refs[7 + n_taps + k] if input_mask else None
+    win = refs[7 + n_taps + k + (1 if input_mask else 0)]
 
     i = pl.program_id(0)
     pos = jax.lax.rem(i, cp)
     _assemble(win, x_c, x_l, x_r, tile, h, pos, cp)
 
     cur = win[...]
+    if input_mask:
+        # The trunk input's relu mask (cms[0], bit 0 only) — packed here
+        # so the XLA graph never re-reads the input just to compare it
+        # (f32 compare: Mosaic has no native bf16 comparison here).
+        im_out[...] = (
+            jax.lax.slice_in_dim(cur, h, h + tile).astype(jnp.float32) > 0.0
+        ).astype(jnp.int32).astype(jnp.int8)
     a_prev = h
     for j in range(k):
         d = plan.dils[j]
@@ -434,14 +477,17 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, *refs):
         a_prev = a_j
 
 
-def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
+def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
+               input_mask: bool = False):
     """One forward group launch.
 
     Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
       bd [K, C]; wr [K, C, C]; br [K, C].
-    Returns: (taps, cmasks) — taps[j] for j in plan.emits ([-1] is the
-    group output); cmasks[j] packs (x_{k0+j+1} > 0) in bit 0 and
-    (y_{k0+j} > 0) in bit 1, int8 [rows, C].
+    Returns: (taps, cmasks[, input relu mask]) — taps[j] for j in
+    plan.emits ([-1] is the group output); cmasks[j] packs
+    (x_{k0+j+1} > 0) in bit 0 and (y_{k0+j} > 0) in bit 1, int8
+    [rows, C].  With ``input_mask``, also returns (x_{k0} > 0) as int8
+    (the trunk's cms[0]).
     """
     rows, c = x.shape
     assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
@@ -452,11 +498,12 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
     n_taps = len(plan.emits)
     dtype = x.dtype
 
-    kernel = functools.partial(_fwd_group_kernel, plan, cp, h)
+    kernel = functools.partial(_fwd_group_kernel, plan, cp, h, input_mask)
     f32 = jnp.float32
+    n_masks = plan.k + (1 if input_mask else 0)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
-        + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * plan.k
+        + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * n_masks
     )
     outs = pl.pallas_call(
         kernel,
@@ -464,11 +511,13 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int):
         in_specs=_halo_specs(tile, h, c, lambda: rows // h)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0))]
-        * (n_taps + plan.k),
+        * (n_taps + n_masks),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tile + 2 * h, c), dtype)],
     )(x, x, x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype),
       br.astype(f32))
+    if input_mask:
+        return outs[:n_taps], outs[n_taps:-1], outs[-1]
     return outs[:n_taps], outs[n_taps:]
 
 
@@ -638,16 +687,20 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
     int8 [rows, C].
     """
     c = x.shape[-1]
-    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit)
-    cm0 = (x.astype(jnp.float32) > 0.0).astype(jnp.int8)
-    cms, taps = [cm0], {}
+    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit, "fwd")
+    cms, taps = [], {}
     cur = x
     for plan in plans:
         k0, k = plan.k0, plan.k
-        g_taps, g_cm = _fwd_group(
+        outs = _fwd_group(
             plan, cur, wd[k0 : k0 + k], bd[k0 : k0 + k], wr[k0 : k0 + k],
-            br[k0 : k0 + k], clip_rows,
+            br[k0 : k0 + k], clip_rows, input_mask=(k0 == 0),
         )
+        if k0 == 0:
+            g_taps, g_cm, cm0 = outs
+            cms.append(cm0)
+        else:
+            g_taps, g_cm = outs
         for j, tap in zip(plan.emits, g_taps):
             taps[k0 + j] = tap
         cur = g_taps[-1]
@@ -660,11 +713,12 @@ def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
     last = len(dils) - 1
     dx = dtaps[last]
     # Plan with the ACTIVATION itemsize (== the forward's x.dtype; the
-    # cotangents carry it) so fwd and bwd agree on the partition even when
-    # the caller passes wider weights — _fwd_group/_bwd_group cast weights
-    # to the activation dtype themselves, so dx.dtype is what the kernels
-    # actually run at.
-    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit)
+    # cotangents carry it) — _fwd_group/_bwd_group cast weights to the
+    # activation dtype themselves, so dx.dtype is what the kernels
+    # actually run at.  The backward partition is planned independently
+    # of the forward's: masks and tap cotangents are global per-layer
+    # arrays, so any group boundaries chain correctly.
+    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit, "bwd")
     for plan in reversed(plans):
         k0, k = plan.k0, plan.k
         gs = {
