@@ -244,20 +244,32 @@ class StyleTransfer:
             maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
         )
 
+        # The optimizer iterate is the FLAT [T] waveform: a [1, T] array
+        # tiles as (8, 128) with 7/8 sublane padding on TPU, so running
+        # L-BFGS's ~45 vector ops per iteration (two-loop, axpys, history
+        # slots) on it costs 8x the memory traffic — and flattening
+        # inside the optimizer instead forced a physical retiling copy of
+        # x and g every evaluation (round-3 device trace: ~48 us/eval).
+        # The batch dim is added back inside the loss, where XLA fuses
+        # the reshape into the front-conv fusion for free.
         def loss_fn(x):
-            return transfer_loss(params, x, phi_c, phi_s, self.cfg, self.loss_spec)
+            return transfer_loss(
+                params, x[None, :], phi_c, phi_s, self.cfg, self.loss_spec
+            )
 
         vg = jax.value_and_grad(lambda x: loss_fn(x)[0])
 
         t = x0.shape[-1]
-        n = x0.size
+        x0 = x0.reshape(t)
         m = opts.memory
         # spec.warm_start: the curvature memory rides along in the epoch
         # loop state and seeds the next epoch's L-BFGS (continuation mode;
         # see TransferSpec). Cold mode carries zeros and resets per epoch.
+        # History slots carry the iterate's NATIVE [1, T] shape (see
+        # lbfgs_minimize — flattening forced retiling copies every eval).
         history0 = dict(
-            s_hist=jnp.zeros((m, n), jnp.float32),
-            y_hist=jnp.zeros((m, n), jnp.float32),
+            s_hist=jnp.zeros((m,) + x0.shape, jnp.float32),
+            y_hist=jnp.zeros((m,) + x0.shape, jnp.float32),
             rho=jnp.zeros((m,), jnp.float32),
             head=jnp.array(0, jnp.int32),
             count=jnp.array(0, jnp.int32),
@@ -305,7 +317,7 @@ class StyleTransfer:
                 x=res.x,
                 ep=ep + 1,
                 done=res.n_evals < spec.early_stop_evals,
-                snapshots=st["snapshots"].at[ep].set(res.x[0].astype(jnp.float32)),
+                snapshots=st["snapshots"].at[ep].set(res.x.astype(jnp.float32)),
                 metrics=st["metrics"].at[ep].set(metrics_row),
                 evals=st["evals"].at[ep].set(res.n_evals),
                 history=hist if spec.warm_start else st["history"],

@@ -80,6 +80,14 @@ class LBFGSResult(NamedTuple):
     status: jax.Array  # 0 converged(gtol) 1 converged(ftol) 2 maxiter 3 ls_fail
 
 
+def _ip(a, b):
+    """Flat inner product without reshapes: elementwise multiply + full
+    reduce, which XLA fuses in the operands' native layout (jnp.vdot
+    ravels its inputs, which costs a physical retiling copy for 2-D
+    iterates)."""
+    return jnp.sum(a * b)
+
+
 def _two_loop(g, s_hist, y_hist, rho, head, count, gamma):
     """H·g via the L-BFGS two-loop recursion on a circular history.
 
@@ -97,7 +105,7 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, gamma):
     alpha = []
     for i in range(m):
         idx = (head - 1 - i) % m
-        a = rho[idx] * jnp.vdot(s_hist[idx], q)
+        a = rho[idx] * _ip(s_hist[idx], q)
         q = q - a * y_hist[idx]
         alpha.append((idx, a))
     r = gamma * q
@@ -107,7 +115,7 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, gamma):
         # the forward loop's (head - count + i) % m order for the count
         # valid slots; invalid slots have rho=0 and contribute nothing
         # regardless of visit order.
-        beta = rho[idx] * jnp.vdot(y_hist[idx], r)
+        beta = rho[idx] * _ip(y_hist[idx], r)
         r = r + s_hist[idx] * (a - beta)
     return r
 
@@ -529,22 +537,27 @@ def lbfgs_minimize(
       ``(LBFGSResult, history)`` when ``return_history`` is set. Wrap the
       call in ``jax.jit`` for a single fused XLA program.
     """
+    # The iterate keeps its NATIVE shape end to end (history slots are
+    # [m, *shape]); all inner products are elementwise-multiply+sum, which
+    # XLA fuses without touching the layout.  The previous flatten-to-1D
+    # design forced a physical [1, T] <-> [T] retiling copy (2-D (8,128)
+    # tiles vs 1-D 1024-lane tiles) on every x and g crossing into the
+    # loss — ~48 us/eval of copies + stalls in the transfer hot loop
+    # (round-3 device trace).
     shape = x0.shape
-    x0 = x0.reshape(-1)
-    n = x0.size
     m = opts.memory
     dtype = x0.dtype
 
     def vg(x):
-        f, g = value_and_grad(x.reshape(shape))
-        return f.astype(dtype), g.reshape(-1).astype(dtype)
+        f, g = value_and_grad(x)
+        return f.astype(dtype), g.astype(dtype)
 
     f0, g0 = vg(x0)
 
     if history is None:
         history = dict(
-            s_hist=jnp.zeros((m, n), dtype),
-            y_hist=jnp.zeros((m, n), dtype),
+            s_hist=jnp.zeros((m,) + shape, dtype),
+            y_hist=jnp.zeros((m,) + shape, dtype),
             rho=jnp.zeros((m,), dtype),
             head=jnp.array(0, jnp.int32),
             count=jnp.array(0, jnp.int32),
@@ -568,17 +581,17 @@ def lbfgs_minimize(
             st["g"], st["s_hist"], st["y_hist"], st["rho"],
             st["head"], st["count"], st["gamma"],
         )
-        dphi0 = jnp.vdot(st["g"], d)
+        dphi0 = _ip(st["g"], d)
         # Safeguard: if not a descent direction, restart with steepest descent.
         bad_dir = dphi0 >= 0.0
         d = jnp.where(bad_dir, -st["g"], d)
-        dphi0 = jnp.where(bad_dir, -jnp.vdot(st["g"], st["g"]), dphi0)
+        dphi0 = jnp.where(bad_dir, -_ip(st["g"], st["g"]), dphi0)
 
         # First-iteration step length mirrors L-BFGS-B (lnsrlb.f): 1/||d||_2
         # for the Moré-Thuente search; the zoom path keeps its historical
         # 1/||g||_1 scaling (its parity constants were tuned around it).
         if opts.line_search == "mt":
-            first_a = 1.0 / jnp.sqrt(jnp.vdot(d, d))
+            first_a = 1.0 / jnp.sqrt(_ip(d, d))
         else:
             first_a = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(st["g"])))
         # The small first step only applies with an empty memory (a
@@ -591,7 +604,7 @@ def lbfgs_minimize(
 
         def vg_1d(a):
             fa, ga = vg(x + a * d)
-            return fa, jnp.vdot(ga, d), ga
+            return fa, _ip(ga, d), ga
 
         search = _mt_line_search if opts.line_search == "mt" else _wolfe_line_search
         a, f_new, g_new, ls_evals, ok = search(vg_1d, f, g, dphi0, a_init, opts)
@@ -599,15 +612,15 @@ def lbfgs_minimize(
 
         s = x_new - x
         y = g_new - g
-        sy = jnp.vdot(s, y)
-        curv_ok = ok & (sy > 1e-10 * jnp.vdot(y, y))
+        sy = _ip(s, y)
+        curv_ok = ok & (sy > 1e-10 * _ip(y, y))
         idx = st["head"] % m
         s_hist = jnp.where(curv_ok, st["s_hist"].at[idx].set(s), st["s_hist"])
         y_hist = jnp.where(curv_ok, st["y_hist"].at[idx].set(y), st["y_hist"])
         rho = jnp.where(curv_ok, st["rho"].at[idx].set(1.0 / sy), st["rho"])
         head = jnp.where(curv_ok, st["head"] + 1, st["head"])
         count = jnp.where(curv_ok, jnp.minimum(st["count"] + 1, m), st["count"])
-        gamma = jnp.where(curv_ok, sy / jnp.vdot(y, y), st["gamma"])
+        gamma = jnp.where(curv_ok, sy / _ip(y, y), st["gamma"])
 
         # L-BFGS-B (mainlb.f) on a failed line search: discard the history
         # and restart the iteration from the same point with steepest
@@ -647,9 +660,9 @@ def lbfgs_minimize(
 
     st = jax.lax.while_loop(cond, body, state)
     res = LBFGSResult(
-        x=st["x"].reshape(shape),
+        x=st["x"],
         f=st["f"],
-        g=st["g"].reshape(shape),
+        g=st["g"],
         n_iters=st["k"],
         n_evals=st["n_evals"],
         status=st["status"],
