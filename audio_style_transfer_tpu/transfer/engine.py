@@ -257,7 +257,22 @@ class StyleTransfer:
                 params, x[None, :], phi_c, phi_s, self.cfg, self.loss_spec
             )
 
-        vg = jax.value_and_grad(lambda x: loss_fn(x)[0])
+        # has_aux: the loss components ride along with every evaluation
+        # (they are byproducts of the same forward pass).  L-BFGS returns
+        # the aux of its INITIAL evaluation — which is taken at the
+        # previous epoch's final iterate — so per-epoch metrics rows cost
+        # no extra forward pass: epoch k's row is delivered by epoch
+        # k+1's init eval, and only the last epoch pays one closing
+        # forward after the loop (previously EVERY epoch re-ran the
+        # forward just to decompose the loss: ~55 ms of the 100-epoch
+        # north-star wall).
+        vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def metrics_row(parts):
+            return jnp.stack(
+                [parts["loss"], parts["content_loss"], parts["style_loss"],
+                 parts["regularizer"]]
+            )
 
         t = x0.shape[-1]
         x0 = x0.reshape(t)
@@ -293,6 +308,7 @@ class StyleTransfer:
                 vg, st["x"], opts,
                 history=st["history"] if spec.warm_start else None,
                 return_history=True,
+                has_aux=True,
             )
             # Warm start: an epoch that ended on a failed line search
             # (status 3) hands over its x but a RESET memory — otherwise
@@ -307,24 +323,33 @@ class StyleTransfer:
                     lambda fresh, h: jnp.where(res.status == 3, fresh, h),
                     history0, hist,
                 )
-            _, parts = loss_fn(res.x)
-            metrics_row = jnp.stack(
-                [parts["loss"], parts["content_loss"], parts["style_loss"],
-                 parts["regularizer"]]
-            )
             ep = st["ep"]
+            # res.aux = loss components at THIS epoch's x0 == the
+            # previous epoch's final iterate: write them as epoch ep-1's
+            # metrics row (the last epoch's row is closed after the loop).
+            prev_row = metrics_row(res.aux)
+            metrics = jnp.where(
+                ep > 0,
+                st["metrics"].at[jnp.maximum(ep - 1, 0)].set(prev_row),
+                st["metrics"],
+            )
             return dict(
                 x=res.x,
                 ep=ep + 1,
                 done=res.n_evals < spec.early_stop_evals,
                 snapshots=st["snapshots"].at[ep].set(res.x.astype(jnp.float32)),
-                metrics=st["metrics"].at[ep].set(metrics_row),
+                metrics=metrics,
                 evals=st["evals"].at[ep].set(res.n_evals),
                 history=hist if spec.warm_start else st["history"],
             )
 
         st = jax.lax.while_loop(cond, body, state)
-        return st["snapshots"], st["metrics"], st["evals"], st["ep"]
+        # Close the last executed epoch's metrics row (one forward).
+        _, parts = loss_fn(st["x"])
+        metrics = st["metrics"].at[jnp.maximum(st["ep"] - 1, 0)].set(
+            metrics_row(parts)
+        )
+        return st["snapshots"], metrics, st["evals"], st["ep"]
 
     def optimize(self, phi_c, phi_s, epochs: int | None = None, x0=None):
         """Run the optimization; returns a host-side results dict."""

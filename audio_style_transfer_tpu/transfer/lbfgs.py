@@ -78,6 +78,7 @@ class LBFGSResult(NamedTuple):
     n_iters: jax.Array  # outer iterations completed
     n_evals: jax.Array  # value_and_grad evaluations (incl. the initial one)
     status: jax.Array  # 0 converged(gtol) 1 converged(ftol) 2 maxiter 3 ls_fail
+    aux: object = None  # has_aux=True: the objective's aux AT x0 (see below)
 
 
 def _ip(a, b):
@@ -517,6 +518,7 @@ def lbfgs_minimize(
     opts: LBFGSOptions = LBFGSOptions(),
     history: dict | None = None,
     return_history: bool = False,
+    has_aux: bool = False,
 ):
     """Minimize ``f`` with L-BFGS, fully on device.
 
@@ -548,11 +550,25 @@ def lbfgs_minimize(
     m = opts.memory
     dtype = x0.dtype
 
+    # has_aux: ``value_and_grad`` returns ((f, aux), g) (the
+    # jax.value_and_grad(..., has_aux=True) convention).  Only the
+    # INITIAL evaluation's aux is kept (returned as LBFGSResult.aux) —
+    # the per-epoch transfer engine uses it to read the loss components
+    # at the previous epoch's final iterate without re-running the
+    # forward pass; the line-search path strips aux.
     def vg(x):
-        f, g = value_and_grad(x)
+        if has_aux:
+            (f, _), g = value_and_grad(x)
+        else:
+            f, g = value_and_grad(x)
         return f.astype(dtype), g.astype(dtype)
 
-    f0, g0 = vg(x0)
+    if has_aux:
+        (f0, aux0), g0 = value_and_grad(x0)
+        f0, g0 = f0.astype(dtype), g0.astype(dtype)
+    else:
+        f0, g0 = vg(x0)
+        aux0 = None
 
     if history is None:
         history = dict(
@@ -666,6 +682,7 @@ def lbfgs_minimize(
         n_iters=st["k"],
         n_evals=st["n_evals"],
         status=st["status"],
+        aux=aux0,
     )
     if return_history:
         return res, {k: st[k] for k in
