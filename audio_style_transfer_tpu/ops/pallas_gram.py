@@ -191,8 +191,27 @@ def _vjp_fwd(*taps):
     return _batchable_fwd(*taps), taps
 
 
+# Below this many taps the backward runs as an XLA composition instead of
+# the Pallas kernel: at L=10/T=16384 (stack mode) the kernel's backward
+# measured 171 us vs XLA's ~110 (the L^2 broadcast-FMA sweep fuses well
+# in XLA until the tap re-read traffic dominates), while the FORWARD
+# kernel already wins there (56 vs 82 us).  At L=30 the kernel wins both
+# directions (round-2/3 profiles).
+_XLA_BWD_MAX_L = 15
+
+
 def _vjp_bwd(taps, g):
     h = (g + jnp.swapaxes(g, 1, 2)).astype(jnp.float32)
+    nl = len(taps)
+    if nl <= _XLA_BWD_MAX_L:
+        fl = [t.astype(jnp.float32) for t in taps]
+        outs = []
+        for a in range(nl):
+            acc = h[:, a, 0, :][:, None, :] * fl[0]
+            for b in range(1, nl):
+                acc = acc + h[:, a, b, :][:, None, :] * fl[b]
+            outs.append(acc.astype(taps[a].dtype))
+        return tuple(outs)
     return _batchable_bwd(h, *taps)
 
 

@@ -113,13 +113,14 @@ class StyleTransfer:
             select_style_layers(cfg.ae_num_layers, spec.stack, spec.style_lyr_ids)
         )
         if spec.fused_gram is None:
-            # The all-pairs kernel pays off once the L^2 pair traffic
-            # dominates: at L=10 (stack mode) the XLA pairwise path measures
-            # ~equal (2.10 vs 2.14 ms/eval), at L=30 the kernel wins 1.55x
-            # (5.16 -> 3.33 ms/eval, v5e round-2 profile). Keyed off EITHER
-            # Pallas trunk flavour — chain_encoder=True alone (the fused
-            # encoder's successor) gets the same gram treatment.
-            fused_gram = (spec.fused_encoder or use_chain) and len(style_ids) >= 16
+            # The all-pairs kernel's FORWARD beats XLA's fused pairwise
+            # path at every L (56 vs 82 us at L=10, 406 us vs ~2 ms at
+            # L=30, v5e round-3 profile); its backward only wins at large
+            # L, so pair_gram itself routes small-L backwards through an
+            # XLA composition (ops/pallas_gram.py _XLA_BWD_MAX_L).  Keyed
+            # off EITHER Pallas trunk flavour — chain_encoder=True alone
+            # (the fused encoder's successor) gets the same treatment.
+            fused_gram = bool(spec.fused_encoder or use_chain)
         else:
             fused_gram = spec.fused_gram
         self.loss_spec = LossSpec(
