@@ -441,9 +441,39 @@ class StyleTransfer:
         spec = self.spec
         epochs = epochs or spec.epochs
         k = phi_c.shape[0]
+        t = spec.batch_size
+        phi_c, phi_s = jnp.asarray(phi_c), jnp.asarray(phi_s)
+        if mesh is None and x0 is None:
+            # All K dispatches are enqueued before ANY result is pulled,
+            # and each clip's four results come back as ONE packed buffer
+            # (each separate pull pays ~30 ms of latency over a remote-
+            # tunnel runtime — 4 pulls x K windows dominated the batched
+            # and long-form walls before packing).
+            outs = [
+                self._epochs_packed_fn(
+                    self.params, phi_c[i], phi_s[i], epochs=epochs
+                )
+                for i in range(k)
+            ]
+            n_snap = epochs * t
+            packed = np.stack([np.asarray(o) for o in outs])
+            snapshots = packed[:, :n_snap].reshape(k, epochs, t)
+            metrics = packed[:, n_snap : n_snap + epochs * 4].reshape(
+                k, epochs, 4
+            )
+            evals = packed[:, n_snap + epochs * 4 : n_snap + epochs * 5]
+            ep_done = packed[:, -1].astype(np.int32)
+            return {
+                "snapshots": snapshots,
+                "metrics": metrics,
+                "evals": evals.astype(np.int32),
+                "epochs_done": ep_done,
+                "x": np.stack(
+                    [snapshots[i, max(int(e) - 1, 0)] for i, e in enumerate(ep_done)]
+                )[:, None, :],
+            }
         if x0 is None:
             x0 = jnp.full((k, 1, spec.batch_size), 1e-6, jnp.float32)
-        phi_c, phi_s = jnp.asarray(phi_c), jnp.asarray(phi_s)
         if mesh is None:
             outs = [
                 self._epochs_fn(
