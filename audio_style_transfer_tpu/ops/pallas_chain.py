@@ -16,19 +16,20 @@ consecutive residual blocks into single kernel launches:
     the round-3 manual DMA ping-pong) overlaps every load/store with the
     previous tile's compute and removed ~35% of the forward kernel time
     (92.7 -> 59.3 us for the [1,2,4,8] group, round-3 A/B);
-  * relu masks: the forward stashes ONE int8 array per layer packing
-    the output mask ``(x_{j+1} > 0)`` (bit 0) and the gate mask
-    ``(y_j > 0)`` (bit 1) — the backward then needs NO activation
-    recompute and never reads activations at all: 4 matmuls per layer
-    (dv + three transposed conv taps), the algorithmic minimum for this
-    block's waveform gradient.  Packing the two masks halves the mask
-    HBM traffic, and because layer j's output mask IS layer j+1's input
-    mask, the backward loads each packed array exactly once per tile
-    (adjacent layers share it through a 3-slot VMEM rotation);
-  * backward: one launch per group; the output cotangent, packed masks
-    and per-tap loss cotangents (style gram / content) arrive through
-    the same pipelined center+halo scheme, the cotangent chain stays in
-    VMEM, and tap cotangents are injected at the right layer in-kernel.
+  * relu masks: the forward stashes ONE int8 array per GROUP packing
+    every local layer's output mask ``(x_{j+1} > 0)`` at bit 2j and gate
+    mask ``(y_j > 0)`` at bit 2j+1 (2k <= 8 bits) — the backward then
+    needs NO activation recompute and never reads activations at all:
+    4 matmuls per layer (dv + three transposed conv taps), the
+    algorithmic minimum for this block's waveform gradient.  Group-level
+    packing shrinks the mask traffic to TWO arrays per backward launch
+    (its own + the previous group's, whose top layer holds the group
+    input's mask) — 42 per-layer mask loads/eval across the stack-0
+    partition became 24;
+  * backward: one launch per group; the output cotangent is DMA'd once
+    with the group halo, the cotangent chain stays in VMEM, and per-tap
+    loss cotangents (style gram / content) are injected at the right
+    layer in-kernel.
 
 The custom VJP sits at the WHOLE-TRUNK level (:func:`fused_trunk`): its
 outputs are only the taps the transfer loss consumes, so at batch > 1
@@ -149,7 +150,7 @@ def _bwd_vmem(tile, nk, c, s, k):
     return (
         ext * c * s                # dx slot
         + 2 * ext * c * s          # carry ping-pong
-        + 3 * ext * c              # packed int8 mask slots (3-rotation)
+        + ext * c + tile * c       # packed mask windows (own + prev)
         + 2 * ext * c * s          # tap-cotangent slots
         + ext * c * (_INFLIGHT_BYTES + 2 * s)
         + k * 4 * c * c * s
@@ -417,9 +418,9 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
 
     x_c, x_l, x_r, wd_ref, bd_ref, wr_ref, br_ref = refs[:7]
     tap_outs = refs[7 : 7 + n_taps]
-    cm_outs = refs[7 + n_taps : 7 + n_taps + k]
-    im_out = refs[7 + n_taps + k] if input_mask else None
-    win = refs[7 + n_taps + k + (1 if input_mask else 0)]
+    cm_out = refs[7 + n_taps]
+    im_out = refs[8 + n_taps] if input_mask else None
+    win = refs[8 + n_taps + (1 if input_mask else 0)]
 
     i = pl.program_id(0)
     pos = jax.lax.rem(i, cp)
@@ -434,6 +435,7 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
             jax.lax.slice_in_dim(cur, h, h + tile).astype(jnp.float32) > 0.0
         ).astype(jnp.int32).astype(jnp.int8)
     a_prev = h
+    bits = None
     for j in range(k):
         d = plan.dils[j]
         a_j = suffix[j]
@@ -457,9 +459,12 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
             # in bf16) — measured noise-level next to the matmul chain.
             out = out * _clip_mask(w_j, a_j, pos, tile, cp, dtype)
 
-        # Packed mask: bit 0 = (x_{j+1} > 0) (this layer's output / next
-        # layer's relu input), bit 1 = (y_j > 0) (the gate relu).
-        # Pack in i32 (Mosaic has no i8 vector arithmetic), truncate once.
+        # Packed masks, ONE int8 array for the whole group: bit 2j =
+        # (x_{k0+j+1} > 0) (layer j's output relu mask), bit 2j+1 =
+        # (y_j > 0) (its gate relu).  2k <= 8 bits for the partitions the
+        # DP emits.  Accumulated in i32 (no i8 vector ops on Mosaic) and
+        # truncated once — the wrap to a negative int8 at bit 7 is fine,
+        # the backward extracts single bits with shift+and.
         xm_bit = (
             jax.lax.slice_in_dim(out, a_j, a_j + tile).astype(jnp.float32)
             > 0.0
@@ -467,7 +472,10 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
         ym_bit = (
             jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
         ).astype(jnp.int32)
-        cm_outs[j][...] = (xm_bit + ym_bit + ym_bit).astype(jnp.int8)
+        layer_bits = jnp.left_shift(xm_bit, 2 * j) + jnp.left_shift(
+            ym_bit, 2 * j + 1
+        )
+        bits = layer_bits if bits is None else bits + layer_bits
 
         if j in plan.emits:
             tap_outs[plan.emits.index(j)][...] = jax.lax.slice_in_dim(
@@ -475,6 +483,7 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
             )
         cur = out
         a_prev = a_j
+    cm_out[...] = bits.astype(jnp.int8)
 
 
 def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
@@ -483,14 +492,15 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
 
     Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
       bd [K, C]; wr [K, C, C]; br [K, C].
-    Returns: (taps, cmasks[, input relu mask]) — taps[j] for j in
-    plan.emits ([-1] is the group output); cmasks[j] packs
-    (x_{k0+j+1} > 0) in bit 0 and (y_{k0+j} > 0) in bit 1, int8
-    [rows, C].  With ``input_mask``, also returns (x_{k0} > 0) as int8
-    (the trunk's cms[0]).
+    Returns: (taps, cm[, input relu mask]) — taps[j] for j in plan.emits
+    ([-1] is the group output); cm is ONE packed int8 [rows, C] with
+    bit 2j = (x_{k0+j+1} > 0) and bit 2j+1 = (y_{k0+j} > 0) for every
+    local layer j.  With ``input_mask``, also returns (x_{k0} > 0) as
+    int8 (bit 0) — the trunk input's relu mask.
     """
     rows, c = x.shape
     assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
+    assert 2 * plan.k <= 8, "packed group masks need 2k <= 8 bits"
     tile = plan.tile
     h = _pow2_halo(plan.halo, tile)
     nprog = rows // tile
@@ -500,7 +510,7 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
 
     kernel = functools.partial(_fwd_group_kernel, plan, cp, h, input_mask)
     f32 = jnp.float32
-    n_masks = plan.k + (1 if input_mask else 0)
+    n_masks = 1 + (1 if input_mask else 0)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
         + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * n_masks
@@ -517,8 +527,8 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
     )(x, x, x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype),
       br.astype(f32))
     if input_mask:
-        return outs[:n_taps], outs[n_taps:-1], outs[-1]
-    return outs[:n_taps], outs[n_taps:]
+        return outs[:n_taps], outs[n_taps], outs[-1]
+    return outs[:n_taps], outs[n_taps]
 
 
 # --------------------------------------------------------------------- #
@@ -526,28 +536,30 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
 # --------------------------------------------------------------------- #
 
 
-def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
-                      *refs):
+def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
+                      prev_bit: int, *refs):
+    """Backward over one group with PACKED masks: the whole group's relu
+    masks arrive as ONE int8 array (bit 2j = layer j's output mask, bit
+    2j+1 = its gate mask) loaded once per tile with the group halo, plus
+    the PREVIOUS group's packed array (center rows only) for the group
+    input's relu mask at bit ``prev_bit``.  Replaces the k+1 per-layer
+    mask arrays and their 3-slot rotation — 42 mask loads/eval across the
+    stack-0 partition become 24, and the bit extraction is two cheap
+    i32 VPU ops per use."""
     k, tile = plan.k, plan.tile
     prefix = plan.prefix
     nk = prefix[-1]
+    ng = len(g_locals)
 
-    dx_ref, wd_ref, wr_ref = refs[:3]
-    cm_refs = refs[3 : 4 + k]  # k+1 packed masks; index i == global cms[k0+i]
-    g_refs = refs[4 + k : 4 + k + len(g_locals)]
-    out_ref = refs[4 + k + len(g_locals)]
-    (dx_slot, carry, cm_slots, g_slots, dx_sems, cm_sems, g_sems,
-     out_sem) = refs[5 + k + len(g_locals) :]
+    it = iter(refs)
+    take = lambda n: [next(it) for _ in range(n)]
+    dx_ref, wd_ref, wr_ref, cm_own_ref, cm_prev_ref = take(5)
+    g_refs = take(ng)
+    out_ref = next(it)
+    (dx_slot, carry, cm_own_slot, cm_prev_slot, g_slots, dx_sems,
+     cm_own_sems, cm_prev_sems, g_sems, out_sem) = take(10)
 
     i = pl.program_id(0)
-
-    # cms[i] serves layer i's input mask (bit 0, extent prefix[i]) AND
-    # layer i-1's gate mask (bit 1, same extent) — each array is DMA'd
-    # exactly once per tile into a 3-slot rotation shared by the two
-    # consumer steps.
-    def cm_load(idx, start):
-        _halo_load(cm_refs[idx], cm_slots.at[idx % 3], cm_sems.at[idx % 3],
-                   i, tile, prefix[idx], cp, start)
 
     def g_load(s, start):
         j = k - 1 - s
@@ -556,10 +568,17 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
                        g_sems.at[s % 2], i, tile, prefix[j + 1], cp, start)
 
     _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, True)
-    cm_load(k, True)
-    cm_load(k - 1, True)
+    _halo_load(cm_own_ref, cm_own_slot, cm_own_sems, i, tile, nk, cp, True)
+    _halo_load(cm_prev_ref, cm_prev_slot, cm_prev_sems, i, tile, 0, cp, True)
     g_load(0, True)
     _halo_load(dx_ref, dx_slot, dx_sems, i, tile, nk, cp, False)
+    _halo_load(cm_own_ref, cm_own_slot, cm_own_sems, i, tile, nk, cp, False)
+
+    def bit(win, b):
+        # Arithmetic shift + mask is sign-extension-safe for every bit.
+        return jnp.bitwise_and(
+            jax.lax.shift_right_arithmetic(win.astype(jnp.int32), b), 1
+        ).astype(jnp.float32)
 
     dtype = carry.dtype
     for s in range(k):
@@ -570,13 +589,11 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
         w_dy = tile + 2 * q
         w_out = tile + 2 * n_j
 
-        if j >= 1:
-            cm_load(j - 1, True)
         if s + 1 < k:
             g_load(s + 1, True)
-        if s == 0:
-            cm_load(k, False)
-        cm_load(j, False)
+        if s == k - 1:
+            _halo_load(cm_prev_ref, cm_prev_slot, cm_prev_sems, i, tile, 0,
+                       cp, False)
         g_load(s, False)
 
         # dx_{j+1} lives at carry rows [nk - n_{j+1}, nk + tile + n_{j+1}).
@@ -589,16 +606,18 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
 
         dv = _dot_t(jax.lax.slice_in_dim(dxe, n_j1 - q, n_j1 - q + w_dy),
                     wr_ref[j])
-        cm1 = cm_slots[(j + 1) % 3, pl.ds(n_j1 - q, w_dy)]
-        ym = (cm1.astype(jnp.int32) >= 2).astype(jnp.float32)
+        ym = bit(cm_own_slot[pl.ds(nk - q, w_dy)], 2 * j + 1)
         dy = (dv * ym).astype(dtype)
 
         left, cen, right = _tap3(dy, q - n_j, d, w_out)
         dr = _dot_t(right, wd_ref[j, 0])
         dr += _dot_t(cen, wd_ref[j, 1])
         dr += _dot_t(left, wd_ref[j, 2])
-        cm0 = cm_slots[j % 3, pl.ds(0, w_out)]
-        xm = jnp.bitwise_and(cm0.astype(jnp.int32), 1).astype(jnp.float32)
+        if j >= 1:
+            xm = bit(cm_own_slot[pl.ds(nk - n_j, w_out)], 2 * (j - 1))
+        else:
+            # w_out == tile + 2*prefix[0] == tile: center rows only.
+            xm = bit(cm_prev_slot[pl.ds(0, w_out)], prev_bit)
         dx_j = (
             jax.lax.slice_in_dim(dxe, n_j1 - n_j, n_j1 - n_j + w_out)
             + (dr * xm).astype(dtype)
@@ -617,14 +636,15 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, nprog: int, g_locals: tuple,
     ).wait()
 
 
-def _bwd_group(plan: GroupPlan, dx, cms, gs: dict, wd, wr, clip_rows: int):
+def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
+               gs: dict, wd, wr, clip_rows: int):
     """One backward group launch.
 
     Args: dx [rows, C] — cotangent of the group output x_{k0+K};
-      cms — K+1 packed int8 masks, cms[j] holding (x_{k0+j} > 0) in bit 0
-      and (y_{k0+j-1} > 0) in bit 1 (cms[0]'s bit 1 — the previous
-      group's gate — is unused here); gs maps local j -> loss cotangent
-      of tap k0+j.
+      cm_own — this group's packed int8 mask array (see _fwd_group);
+      cm_prev — the PREVIOUS group's packed array (or the trunk input's
+      relu mask for the first group), whose bit ``prev_bit`` holds
+      (x_{k0} > 0); gs maps local j -> loss cotangent of tap k0+j.
     Returns dx0 [rows, C] — cotangent of the group input.
     """
     rows, c = dx.shape
@@ -635,28 +655,30 @@ def _bwd_group(plan: GroupPlan, dx, cms, gs: dict, wd, wr, clip_rows: int):
     cp = clip_rows // tile
     dtype = dx.dtype
     g_locals = tuple(sorted(gs))
-    assert len(cms) == plan.k + 1
 
-    kernel = functools.partial(_bwd_group_kernel, plan, cp, nprog, g_locals)
+    kernel = functools.partial(_bwd_group_kernel, plan, cp, g_locals,
+                               prev_bit)
     return pl.pallas_call(
         kernel,
         grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (plan.k + 1 + len(g_locals)),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(g_locals)),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, c), dtype),
         scratch_shapes=[
             pltpu.VMEM((ext, c), dtype),          # dx slot
             pltpu.VMEM((2, ext, c), dtype),       # carry ping-pong
-            pltpu.VMEM((3, ext, c), jnp.int8),    # packed-mask rotation
+            pltpu.VMEM((ext, c), jnp.int8),       # packed-mask window
+            pltpu.VMEM((tile, c), jnp.int8),      # prev-group mask (center)
             pltpu.VMEM((2, ext, c), dtype),       # tap-cotangent slots
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((3, 3)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(dx, wd.astype(dtype), wr.astype(dtype), *cms,
+    )(dx, wd.astype(dtype), wr.astype(dtype), cm_own, cm_prev,
       *[gs[j] for j in g_locals])
 
 
@@ -682,12 +704,14 @@ def stack_trunk_weights(params, num_layers: int = 30):
 def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
     """Run all groups; returns (taps dict by global id, cms).
 
-    cms[j] (j = 0..K_total) packs (x_j > 0) in bit 0 and (y_{j-1} > 0)
-    in bit 1 (cms[0] is the trunk input's relu mask, bit 0 only);
-    int8 [rows, C].
+    cms[0] is the trunk input's relu mask (bit 0 only); cms[1 + g] is
+    group g's packed mask array (bit 2j = local layer j's output mask,
+    bit 2j+1 = its gate mask); all int8 [rows, C].
     """
     c = x.shape[-1]
-    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit, "fwd")
+    # Forward and backward share ONE partition: the packed group-mask
+    # layout is keyed to it, and "both" checks both kernels' VMEM models.
+    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit, "both")
     cms, taps = [], {}
     cur = x
     for plan in plans:
@@ -704,7 +728,7 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
         for j, tap in zip(plan.emits, g_taps):
             taps[k0 + j] = tap
         cur = g_taps[-1]
-        cms.extend(g_cm)
+        cms.append(g_cm)
     return taps, tuple(cms)
 
 
@@ -715,19 +739,23 @@ def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
     # Plan with the ACTIVATION itemsize (== the forward's x.dtype; the
     # cotangents carry it) — _fwd_group/_bwd_group cast weights to the
     # activation dtype themselves, so dx.dtype is what the kernels
-    # actually run at.  The backward partition is planned independently
-    # of the forward's: masks and tap cotangents are global per-layer
-    # arrays, so any group boundaries chain correctly.
-    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit, "bwd")
-    for plan in reversed(plans):
+    # actually run at.  The partition MUST match the forward's: the
+    # packed mask arrays in ``cms`` are laid out per forward group.
+    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit, "both")
+    for gi in range(len(plans) - 1, -1, -1):
+        plan = plans[gi]
         k0, k = plan.k0, plan.k
         gs = {
             j - k0: dtaps[j]
             for j in emit
             if k0 <= j < k0 + k and j != last
         }
+        # cms[gi] is the PREVIOUS group's packed array (the trunk input
+        # mask for gi == 0); its top layer's output-mask bit holds this
+        # group's input relu mask.
+        prev_bit = 0 if gi == 0 else 2 * (plans[gi - 1].k - 1)
         dx = _bwd_group(
-            plan, dx, cms[k0 : k0 + k + 1], gs,
+            plan, dx, cms[1 + gi], cms[gi], prev_bit, gs,
             wd[k0 : k0 + k], wr[k0 : k0 + k], clip_rows,
         )
     return dx
