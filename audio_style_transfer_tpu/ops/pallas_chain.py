@@ -129,16 +129,19 @@ def _prefix_halos(dils):
     return tuple(n)
 
 
-def _fwd_vmem(tile, halo, c, s, k):
+def _fwd_vmem(tile, halo, c, s, k, n_taps):
     """Pipelined fwd kernel footprint: double-buffered input blocks
-    (center + 2 pow2-halo blocks), double-buffered tap/mask output
-    blocks (conservatively assuming every layer emits), the assembly
-    window scratch, live chain values, and the stacked weights."""
+    (center + 2 pow2-halo blocks), double-buffered output blocks for the
+    n_taps emitted taps plus the ONE packed group-mask array, the
+    assembly window scratch, live chain values, and the stacked
+    weights.  (Charging a tap buffer per LAYER here was a round-3 bug:
+    at itemsize 4 it made every multi-layer group infeasible and the DP
+    degenerated to 30 single-layer groups on the f32 path.)"""
     h = _pow2_halo(halo, tile)
     ext = tile + 2 * h
     return (
         2 * ext * c * s                      # input pipeline buffers
-        + 2 * k * tile * c * (s + 1)         # tap + mask output buffers
+        + 2 * (n_taps * s + 1) * tile * c    # tap + packed-mask outputs
         + ext * c * s                        # window scratch
         + ext * c * (_INFLIGHT_BYTES + 2 * s)  # y f32 + chain in flight
         + k * 4 * c * c * s                  # stacked weights
@@ -173,20 +176,20 @@ _TILE_FIXED_ROWS = int(os.environ.get("AST_CHAIN_TILE_FIXED", 5000))
 _MAX_TILE = int(os.environ.get("AST_CHAIN_MAX_TILE", 8192))
 
 
-def _group_cost(dils, clip_rows, c, itemsize, direction: str = "both"):
+def _group_cost(dils, clip_rows, c, itemsize, n_emit):
     """(cost, tile) for one candidate group, or None if infeasible.
 
-    ``direction`` selects which kernel's VMEM model and halo-waste terms
-    constrain the plan: the pipelined forward and the manual-DMA backward
-    no longer share buffers, so each direction is planned independently
-    ("fwd"/"bwd"); "both" keeps the round-3 coupled behavior for callers
-    that run one plan through both kernels (parallel/halo's masked path).
+    ``n_emit`` counts the taps this group writes to HBM (the emit set
+    members inside the span plus the group output).  Feasibility checks
+    BOTH kernels' VMEM models — forward and backward share the partition
+    because the packed group-mask layout is keyed to it — and the packed
+    masks cap groups at 2k <= 8 bits.
     """
+    if 2 * len(dils) > 8:
+        return None
     suffix, halo = _suffix_halos(dils)
     prefix = _prefix_halos(dils)
     nk = prefix[-1]
-    use_fwd = direction in ("fwd", "both")
-    use_bwd = direction in ("bwd", "both")
     tile = 1
     while tile * 2 <= min(clip_rows, _MAX_TILE) and clip_rows % (tile * 2) == 0:
         tile *= 2
@@ -195,29 +198,18 @@ def _group_cost(dils, clip_rows, c, itemsize, direction: str = "both"):
         if (
             halo <= tile
             and nk <= tile
-            and (not use_fwd or _fwd_vmem(tile, halo, c, itemsize, len(dils))
-                 <= _SCOPED_VMEM_BUDGET)
-            and (not use_bwd or _bwd_vmem(tile, nk, c, itemsize, len(dils))
-                 <= _SCOPED_VMEM_BUDGET)
+            and _fwd_vmem(tile, halo, c, itemsize, len(dils), n_emit)
+            <= _SCOPED_VMEM_BUDGET
+            and _bwd_vmem(tile, nk, c, itemsize, len(dils))
+            <= _SCOPED_VMEM_BUDGET
         ):
-            # Both directions keep the coupled waste model: the manual-
-            # DMA backward's per-layer time grows with the group's full
-            # extent beyond its own halo waste (serial mask-rotation
-            # waits) — a bwd plan relaxed to only its own waste terms
-            # chose [4,4,2] and ran 504 us vs the coupled [4,3,2,1]'s
-            # 477 (round-3 measurement).
             waste = sum(
                 2 * (_FWD_MM * a + _BWD_MM * n)
                 for a, n in zip(suffix, prefix[:-1])
             )
-            # The per-(layer, tile) fixed-issue term only models the
-            # PIPELINED forward.
-            if use_fwd:
-                waste += len(dils) * _TILE_FIXED_ROWS
-            # Launch penalty stays at the shared-plan calibration even
-            # for single-direction plans: halving it made the DP trade a
-            # launch for halo waste ([3,3,2,1,1] per stack) that measures
-            # slower than the [4,3,2,1] partition it replaces.
+            # Per-(layer, tile) fixed-issue term models the pipelined
+            # forward's residual MXU-issue overhead.
+            waste += len(dils) * _TILE_FIXED_ROWS
             cost = (clip_rows // tile) * waste + 2 * _LAUNCH_ROWS
             if best is None or cost < best[0]:
                 best = (cost, tile)
@@ -227,22 +219,24 @@ def _group_cost(dils, clip_rows, c, itemsize, direction: str = "both"):
 
 @functools.lru_cache(maxsize=None)
 def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int,
-                emit: tuple, direction: str = "both"):
+                emit: tuple):
     """Exact-DP partition of the layer stack into chained groups.
 
-    The forward and backward kernels are planned independently
-    (direction "fwd"/"bwd") since the pipelined forward and manual-DMA
-    backward have different VMEM footprints and halo-waste profiles;
-    "both" (the default, used by the halo-sharded path and tests) keeps
-    one shared partition satisfying both kernels."""
+    One partition serves both kernels: the backward consumes the packed
+    group-mask arrays the forward lays out per group."""
     n = len(dils)
+
+    def n_emit(i, j):
+        return len({e for e in emit if i <= e < j} | {j - 1})
+
     best = [None] * (n + 1)
     best[n] = (0.0, 0)
     for i in range(n - 1, -1, -1):
         for j in range(i + 1, n + 1):
             if best[j] is None:
                 continue
-            cand = _group_cost(dils[i:j], clip_rows, c, itemsize, direction)
+            cand = _group_cost(dils[i:j], clip_rows, c, itemsize,
+                               n_emit(i, j))
             if cand is None:
                 continue
             total = cand[0] + best[j][0]
@@ -259,7 +253,7 @@ def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int,
         g = dils[i : i + k]
         suffix, halo = _suffix_halos(g)
         prefix = _prefix_halos(g)
-        _, tile = _group_cost(g, clip_rows, c, itemsize, direction)
+        _, tile = _group_cost(g, clip_rows, c, itemsize, n_emit(i, i + k))
         emits = tuple(sorted({j - i for j in emit if i <= j < i + k} | {k - 1}))
         plans.append(GroupPlan(i, g, tile, halo, suffix, prefix, emits))
         i += k
@@ -710,8 +704,8 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
     """
     c = x.shape[-1]
     # Forward and backward share ONE partition: the packed group-mask
-    # layout is keyed to it, and "both" checks both kernels' VMEM models.
-    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit, "both")
+    # layout is keyed to it (plan_groups checks both kernels' VMEM models).
+    plans = plan_groups(dils, clip_rows, c, x.dtype.itemsize, emit)
     cms, taps = [], {}
     cur = x
     for plan in plans:
@@ -741,7 +735,7 @@ def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
     # activation dtype themselves, so dx.dtype is what the kernels
     # actually run at.  The partition MUST match the forward's: the
     # packed mask arrays in ``cms`` are laid out per forward group.
-    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit, "both")
+    plans = plan_groups(dils, clip_rows, c, dx.dtype.itemsize, emit)
     for gi in range(len(plans) - 1, -1, -1):
         plan = plans[gi]
         k0, k = plan.k0, plan.k

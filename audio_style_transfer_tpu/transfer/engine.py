@@ -58,11 +58,12 @@ class TransferSpec:
     # fused_encoder (the chained trunk IS the fused encoder's successor);
     # False forces the per-layer fused kernels for comparison.
     chain_encoder: bool | None = None
-    # Pallas all-pairs gram kernel (TPU only). None = auto: on when the
-    # encoder runs EITHER Pallas flavour (fused or chained) AND >= 16
-    # style layers are selected (the single-HBM-read kernel only beats
-    # XLA's fused pairwise path once the L^2 pair traffic dominates —
-    # measured crossover between L=10 and L=30).
+    # Pallas all-pairs gram kernel (TPU only). None = auto: on whenever
+    # the encoder runs EITHER Pallas flavour (fused or chained) — the
+    # kernel's single-HBM-read FORWARD beats XLA at every L, and below
+    # 16 style layers pair_gram itself routes the backward through an
+    # XLA composition where that direction is faster (ops/pallas_gram.py
+    # _XLA_BWD_MAX_L).
     fused_gram: bool | None = None
     # Carry the L-BFGS curvature memory across epochs instead of the
     # reference's cold per-epoch restarts (an artifact of SciPy's stateless
@@ -158,6 +159,19 @@ class StyleTransfer:
             ])
 
         self._epochs_packed_fn = jax.jit(_packed, static_argnames=("epochs",))
+
+    @staticmethod
+    def _unpack(packed: np.ndarray, epochs: int, t: int):
+        """Invert _packed's concatenation: (snapshots [epochs, t],
+        metrics [epochs, 4], evals [epochs], epochs_done)."""
+        n_snap = epochs * t
+        snapshots = packed[..., :n_snap].reshape(*packed.shape[:-1], epochs, t)
+        metrics = packed[..., n_snap : n_snap + epochs * 4].reshape(
+            *packed.shape[:-1], epochs, 4
+        )
+        evals = packed[..., n_snap + epochs * 4 : n_snap + epochs * 5]
+        ep_done = packed[..., -1].astype(np.int32)
+        return snapshots, metrics, evals.astype(np.int32), ep_done
         # Mesh-path programs (optimize_batch mesh=...), built lazily per
         # (mesh, epochs) by _mesh_batch_fn: shard_map over the clip axis
         # running the SAME fully-fused single-clip epoch program on each
@@ -363,11 +377,10 @@ class StyleTransfer:
             packed = np.asarray(
                 self._epochs_packed_fn(self.params, phi_c, phi_s, epochs=epochs)
             )
-            n_snap = epochs * t
-            snapshots = packed[:n_snap].reshape(epochs, t)
-            metrics = packed[n_snap : n_snap + epochs * 4].reshape(epochs, 4)
-            evals = packed[n_snap + epochs * 4 : n_snap + epochs * 5]
-            ep_done = int(packed[-1])
+            snapshots, metrics, evals, ep_done = self._unpack(
+                packed, epochs, t
+            )
+            ep_done = int(ep_done)
         else:
             snapshots, metrics, evals, ep_done = self._epochs_fn(
                 self.params, x0, phi_c, phi_s, epochs=epochs
@@ -455,18 +468,14 @@ class StyleTransfer:
                 )
                 for i in range(k)
             ]
-            n_snap = epochs * t
             packed = np.stack([np.asarray(o) for o in outs])
-            snapshots = packed[:, :n_snap].reshape(k, epochs, t)
-            metrics = packed[:, n_snap : n_snap + epochs * 4].reshape(
-                k, epochs, 4
+            snapshots, metrics, evals, ep_done = self._unpack(
+                packed, epochs, t
             )
-            evals = packed[:, n_snap + epochs * 4 : n_snap + epochs * 5]
-            ep_done = packed[:, -1].astype(np.int32)
             return {
                 "snapshots": snapshots,
                 "metrics": metrics,
-                "evals": evals.astype(np.int32),
+                "evals": evals,
                 "epochs_done": ep_done,
                 "x": np.stack(
                     [snapshots[i, max(int(e) - 1, 0)] for i, e in enumerate(ep_done)]

@@ -526,7 +526,9 @@ def lbfgs_minimize(
       value_and_grad: callable x -> (f, g) with x, g shaped like ``x0``.
         (Build with ``jax.value_and_grad``; any pytree is supported by
         flattening outside.)
-      x0: initial point (any shape; treated as a flat vector internally).
+      x0: initial point (any shape; the iterate, gradient, and history
+        slots all keep this native shape — a history dict passed back in
+        must have (memory,) + x0.shape slots).
       history: optional curvature memory from a previous call (as returned
         with ``return_history=True``) to warm-start the Hessian
         approximation — the continuation mode the reference's per-epoch
