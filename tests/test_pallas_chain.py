@@ -54,6 +54,26 @@ def test_plan_covers_all_layers_and_respects_halos():
     assert covered == list(range(30))
 
 
+def test_plan_respects_packed_mask_capacity():
+    """Groups are capped at 2k <= 8 mask bits; many small dilations must
+    split instead of tracing a k>4 group into _fwd_group's assert
+    (round-3 review finding)."""
+    plans = plan_groups((1, 1, 1, 1, 1, 1), 512, 8, 2, (5,))
+    assert all(p.k <= 4 for p in plans)
+    assert [p.k0 for p in plans][0] == 0
+    assert sum(p.k for p in plans) == 6
+
+
+def test_plan_full_geometry_f32_is_feasible():
+    """The f32 (itemsize 4) full-geometry plan must exist — the round-3
+    VMEM model briefly charged a tap output per LAYER, which rejected
+    every multi-layer group and (worse) would reject everything if the
+    budget tightened further."""
+    dils30 = tuple(2 ** (i % 10) for i in range(30))
+    plans = plan_groups(dils30, 16384, 128, 4, tuple(range(10)) + (29,))
+    assert sum(p.k for p in plans) == 30
+
+
 def test_forward_matches_reference_multi_group():
     dils = (1, 2, 4, 8)
     x, wd, bd, wr, br = _inputs()
