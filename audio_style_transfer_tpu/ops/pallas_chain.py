@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +66,6 @@ _DMA_ALIGN = 32
 # every slice of the chained activations (f32 only needs 8; the extra
 # halo rows cost < 1% extra matmul work at tile >= 2048).
 _REF_ALIGN = 16
-
-import os
 
 _SCOPED_VMEM_BUDGET = int(
     os.environ.get("AST_CHAIN_VMEM_BUDGET", 13 * 1024 * 1024)
@@ -141,7 +140,9 @@ def _fwd_vmem(tile, halo, c, s, k, n_taps):
     ext = tile + 2 * h
     return (
         2 * ext * c * s                      # input pipeline buffers
-        + 2 * (n_taps * s + 1) * tile * c    # tap + packed-mask outputs
+        # n_taps taps + the packed group mask + (group 0 only, charged
+        # for every group as slack) the input relu mask, double-buffered.
+        + 2 * (n_taps * s + 2) * tile * c
         + ext * c * s                        # window scratch
         + ext * c * (_INFLIGHT_BYTES + 2 * s)  # y f32 + chain in flight
         + k * 4 * c * c * s                  # stacked weights
@@ -642,6 +643,7 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
     Returns dx0 [rows, C] — cotangent of the group input.
     """
     rows, c = dx.shape
+    assert rows % clip_rows == 0 and clip_rows % plan.tile == 0
     tile = plan.tile
     nk = plan.prefix[-1]
     ext = tile + 2 * nk

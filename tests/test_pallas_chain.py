@@ -161,6 +161,35 @@ def test_gradient_matches_reference():
     )
 
 
+def test_gradient_matches_reference_multi_group():
+    """Waveform gradients across a forced GROUP SPLIT: exercises the
+    cross-group packed-mask path (prev_bit indexing, cms[gi] offsets,
+    and the group-boundary tap-cotangent injection) that single-group
+    geometries never reach (round-3 review finding)."""
+    dils = (256, 512)
+    emit = (0, 1)
+    x, wd, bd, wr, br = _inputs(t=512, n=2, seed=31)
+    plans = plan_groups(dils, 512, 8, 4, emit)
+    assert len(plans) >= 2, [p.dils for p in plans]
+    tg = [
+        jnp.asarray(np.random.RandomState(41 + i).randn(512, 8).astype(np.float32))
+        for i in range(2)
+    ]
+
+    def loss(fn, z):
+        taps = fn(z, wd, bd, wr, br, dils, emit)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    g_fused = jax.grad(functools.partial(loss, fused_trunk))(x)
+    g_ref = jax.grad(functools.partial(loss, reference_trunk))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_weight_gradients_match_reference():
     dils = (1, 4, 16)
     emit = (0, 2)
