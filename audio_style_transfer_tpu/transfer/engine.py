@@ -159,6 +159,24 @@ class StyleTransfer:
             ])
 
         self._epochs_packed_fn = jax.jit(_packed, static_argnames=("epochs",))
+        # Mesh-path programs (optimize_batch mesh=...), built lazily per
+        # (mesh, epochs) by _mesh_batch_fn: shard_map over the clip axis
+        # running the SAME fully-fused single-clip epoch program on each
+        # device's local clips (sequential lax.map, per-clip early stop).
+        # A jit(vmap(...)) over sharded clips cannot do this — XLA has no
+        # partitioning rule for the Pallas custom-calls, so the vmapped
+        # program would replicate (all-gather) every kernel onto every
+        # device; shard_map makes each device run plain single-clip
+        # kernels with zero hot-loop communication.
+        self._mesh_fns: dict = {}
+        # Single-chip K-clip path: an ASYNC host-dispatch pipeline of the
+        # single-clip program — all K dispatches are enqueued before
+        # blocking, so the device runs the programs back to back.  This
+        # reuses the north-star compile and measured 697 vs 372 evals/s
+        # against a lax.map(epoch-loop) mega-program on 58 windows x 20
+        # epochs: inside the scan every eval carried ~1.6 ms of device
+        # idle (one extra level of control-flow nesting), while the async
+        # pipeline hides dispatch latency entirely.
 
     @staticmethod
     def _unpack(packed: np.ndarray, epochs: int, t: int):
@@ -172,25 +190,6 @@ class StyleTransfer:
         evals = packed[..., n_snap + epochs * 4 : n_snap + epochs * 5]
         ep_done = packed[..., -1].astype(np.int32)
         return snapshots, metrics, evals.astype(np.int32), ep_done
-        # Mesh-path programs (optimize_batch mesh=...), built lazily per
-        # (mesh, epochs) by _mesh_batch_fn: shard_map over the clip axis
-        # running the SAME fully-fused single-clip epoch program on each
-        # device's local clips (sequential lax.map, per-clip early stop).
-        # A jit(vmap(...)) over sharded clips cannot do this — XLA has no
-        # partitioning rule for the Pallas custom-calls, so the vmapped
-        # program would replicate (all-gather) every kernel onto every
-        # device; shard_map makes each device run plain single-clip
-        # kernels with zero hot-loop communication.
-        self._mesh_fns: dict = {}
-        # Single-chip K-clip path: an ASYNC host-dispatch pipeline of the
-        # single-clip program (_epochs_fn) — all K dispatches are enqueued
-        # before blocking, so the device runs the programs back to back.
-        # This reuses the north-star compile and measured 697 vs 372
-        # evals/s against a lax.map(epoch-loop) mega-program on 58 windows
-        # x 20 epochs: inside the scan every eval carried ~1.6 ms of
-        # device idle (one extra level of control-flow nesting), while the
-        # async pipeline hides dispatch latency entirely. (Round 2's "~12%
-        # host-loop overhead" measurement blocked on every call.)
 
     # ------------------------------------------------------------------ #
     # Feature extraction (reference methods.py:86-111)
