@@ -123,6 +123,13 @@ def _bwd(taps, h):
     b, t, c = taps[0].shape
     dtype = taps[0].dtype
     tile = _pick_tile(t, nl, c, dtype.itemsize, n_streams=2, batched=b > 1)
+    # Measured tile optimum for the L^2 broadcast-FMA sweep (L=30,
+    # T=16384, v5e round-3): 64 -> 812 us, 128 -> 733, 256 -> 853.
+    # The backward wants SMALLER tiles than the VMEM bound allows (the
+    # L^2 accumulation chains schedule better on short windows), while
+    # the forward's pair-reduction prefers the larger budget-driven tile
+    # (256 -> 422 us vs 128 -> 480).
+    tile = min(tile, 128)
     grid = (b, t // tile)
     tap_spec = pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0))
     return pl.pallas_call(
