@@ -128,8 +128,13 @@ def _bwd(taps, h):
     # The backward wants SMALLER tiles than the VMEM bound allows (the
     # L^2 accumulation chains schedule better on short windows), while
     # the forward's pair-reduction prefers the larger budget-driven tile
-    # (256 -> 422 us vs 128 -> 480).
-    tile = min(tile, 128)
+    # (256 -> 422 us vs 128 -> 480).  Only apply the cap when it keeps
+    # the tile-divides-T invariant _pick_tile guaranteed (e.g. T=320
+    # capped to 128 would leave the trailing T mod 128 cotangent rows
+    # unwritten).
+    if t % 128 == 0:
+        tile = min(tile, 128)
+    assert t % tile == 0, (t, tile)
     grid = (b, t // tile)
     tap_spec = pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0))
     return pl.pallas_call(
@@ -226,6 +231,14 @@ pair_gram.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def pair_gram_reference(*taps):
-    """XLA oracle with identical semantics (tests)."""
+    """XLA oracle with identical semantics (tests).
+
+    precision=HIGHEST: the oracle must accumulate in true f32 like the
+    kernel (and like the production elementwise-product path in
+    transfer/grams.py) — at some shapes XLA's CPU backend otherwise picks
+    a reduced-precision dot (measured 0.26 abs error vs f64 at T=320
+    while the kernel sat at 3e-5).
+    """
     stacked = jnp.stack([t.astype(jnp.float32) for t in taps], axis=1)
-    return jnp.einsum("nats,nbts->nabs", stacked, stacked)
+    return jnp.einsum("nats,nbts->nabs", stacked, stacked,
+                      precision=jax.lax.Precision.HIGHEST)

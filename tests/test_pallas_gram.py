@@ -78,6 +78,60 @@ def test_gradient_matches_reference():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_gradient_kernel_path_large_l():
+    """nl > _XLA_BWD_MAX_L routes the backward through the Pallas kernel
+    (and its vmap rule) — the production L=30 path.  Small t/c keeps the
+    18-tap interpret-mode run cheap."""
+    nl = 18
+    taps = _taps(nl=nl, t=128, c=8, seed=11)
+    tgt = jnp.asarray(
+        np.random.RandomState(12).randn(1, nl, nl, 8).astype(np.float32)
+    )
+
+    def loss(fn, taps):
+        return jnp.sum((fn(*taps) - tgt) ** 2)
+
+    g = jax.grad(functools.partial(loss, pair_gram))(taps)
+    g_ref = jax.grad(functools.partial(loss, pair_gram_reference))(taps)
+    for a, b in zip(g, g_ref):
+        assert float(jnp.max(jnp.abs(b))) > 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    # the vmapped bwd kernel at the same L
+    stacked = [jnp.stack([t_, t_ * 2.0], axis=0) for t_ in taps]  # [2,1,T,C]
+    gb = jax.vmap(
+        jax.grad(functools.partial(loss, pair_gram), argnums=0)
+    )(stacked)
+    for lane, scale in [(0, 1.0), (1, 2.0)]:
+        gs = jax.grad(functools.partial(loss, pair_gram))(
+            [s[lane] for s in stacked]
+        )
+        for a, b in zip(gb, gs):
+            np.testing.assert_allclose(np.asarray(a[lane]), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"lane {lane}")
+
+
+def test_bwd_tile_cap_preserves_divisibility():
+    """Regression (round-3 advisor): T not a multiple of 128 with the
+    kernel backward must not leave trailing cotangent rows unwritten."""
+    nl = 17
+    taps = _taps(nl=nl, t=320, c=8, seed=13)
+
+    def loss(fn, taps):
+        return jnp.sum(fn(*taps) ** 2)
+
+    g = jax.grad(functools.partial(loss, pair_gram))(taps)
+    g_ref = jax.grad(functools.partial(loss, pair_gram_reference))(taps)
+    # what this guards against is unwritten trailing rows (garbage or
+    # zeros, errors of order the gradient magnitude ~1e3); f32
+    # accumulation-order noise through the squared loss is ~1e-4
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_gradient_asymmetric_cotangent():
     """The bwd kernel symmetrizes g + g^T; a non-symmetric pullback (e.g.
     weighting only the upper triangle) must still match autodiff of the
