@@ -87,6 +87,23 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference's per-epoch cold restarts)")
     parser.add_argument("--random_init", action="store_true",
                         help="random weights instead of pretrained (smoke runs)")
+    parser.add_argument("--longform", action="store_true",
+                        help="chunked long-form mode: the whole content clip "
+                             "is split into batch_size windows with "
+                             "crossfaded stitching (transfer/longform.py); "
+                             "--start is ignored")
+    parser.add_argument("--ot_components", nargs="?", type=int, default=None,
+                        help="(longform) NMF components for the OT "
+                             "palette-translated style target (the "
+                             "reference's utils.transform pipeline wired "
+                             "into the loss); None disables the transform")
+    parser.add_argument("--ot_blend", nargs="?", type=float, default=0.5,
+                        help="(longform) weight of the OT translated-gram "
+                             "delta on the style target: 0 = reference "
+                             "target untouched, 1 = full correction; the "
+                             "target's distance to the style gram falls "
+                             "monotonically as this rises (measured "
+                             "sensitivity in BENCH_NOTES.md round 4)")
     return parser
 
 
@@ -97,8 +114,13 @@ def get_dir(directory: str, args) -> str:
         k: v
         for k, v in vars(args).items()
         if k not in ("precision", "no_artifacts", "random_init", "fused",
-                     "warm_start")
+                     "warm_start", "longform", "ot_components", "ot_blend")
     }
+    if getattr(args, "longform", False):
+        kwargs["longform"] = True
+        if args.ot_components is not None:
+            kwargs["n_components"] = args.ot_components
+            kwargs["otblend"] = args.ot_blend
     # A warm-start run has different per-epoch eval accounting than the
     # reference-faithful cold-restart run of the same config — name its
     # artifact directory apart so the two don't overwrite each other's

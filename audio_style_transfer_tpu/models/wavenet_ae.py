@@ -141,6 +141,7 @@ def encoder_trunk(
     cfg: WaveNetAEConfig | None = None,
     valid_mask=None,
     needed_taps=None,
+    valid_window=None,
 ):
     """Encoder taps *without* the hop pooling (works on any time length).
 
@@ -153,7 +154,13 @@ def encoder_trunk(
         *global* sequence. Positions outside are re-zeroed after every trunk
         state so each conv sees exactly the zeros that single-device SAME
         padding would have produced (zero input alone is NOT enough — biases
-        make activations over padding nonzero).
+        make activations over padding nonzero).  Arbitrary masks force the
+        XLA conv path.
+      valid_window: optional (lo, hi) scalars — the CONTIGUOUS special case
+        of valid_mask (what the halo path actually needs).  Mutually
+        exclusive with valid_mask; unlike it, the chained Pallas trunk
+        supports it natively (ops/pallas_chain.py valid_window), so the
+        exact long-form mode runs the fused kernels.
       needed_taps: optional iterable of trunk-layer ids (0..29) whose taps
         the caller will consume. Only honored by the chained-kernel path,
         which then skips writing unneeded taps to HBM: the corresponding
@@ -164,6 +171,13 @@ def encoder_trunk(
     cfg = cfg or WaveNetAEConfig()
     dtype = cfg.compute_dtype
     x_scaled = (x_quantized.astype(jnp.float32) / 128.0).astype(dtype)[..., None]
+    vw = None
+    if valid_window is not None:
+        if valid_mask is not None:
+            raise ValueError("pass either valid_mask or valid_window, not both")
+        vw = jnp.asarray(valid_window, jnp.int32)
+        pos = jnp.arange(x_quantized.shape[-1])
+        valid_mask = (pos >= vw[0]) & (pos < vw[1])
     if valid_mask is not None:
         valid_mask = valid_mask.astype(dtype)[None, :, None]
 
@@ -172,8 +186,9 @@ def encoder_trunk(
 
     enc = masked(_apply(params, "ae_startconv", x_scaled, causal=False, dtype=dtype))
 
-    if cfg.chain_encoder and valid_mask is None:
-        extracts = _chain_trunk_extracts(params, enc, cfg, needed_taps)
+    if cfg.chain_encoder and (valid_mask is None or vw is not None):
+        extracts = _chain_trunk_extracts(params, enc, cfg, needed_taps,
+                                         valid_window=vw)
         if extracts is not None:
             bottleneck = _apply(params, "ae_bottleneck", extracts[-1], dtype=dtype)
             extracts.append(bottleneck)
@@ -227,7 +242,8 @@ def encoder_trunk(
     return extracts
 
 
-def _chain_trunk_extracts(params, enc, cfg: WaveNetAEConfig, needed_taps):
+def _chain_trunk_extracts(params, enc, cfg: WaveNetAEConfig, needed_taps,
+                          valid_window=None):
     """Chained-kernel trunk path (ops/pallas_chain.py).
 
     Returns the 31-entry prefix of ``extracts`` (taps 0..29, with None in
@@ -242,6 +258,8 @@ def _chain_trunk_extracts(params, enc, cfg: WaveNetAEConfig, needed_taps):
     )
 
     b, t, c = enc.shape
+    if valid_window is not None and b != 1:
+        return None  # the windowed trunk is per-clip state, no vmap rule
     n = cfg.ae_num_layers
     dils = tuple(cfg.ae_dilation(k) for k in range(n))
     # ids 30 (enc_ alias) and 31 (bottleneck) both derive from tap 29.
@@ -260,7 +278,8 @@ def _chain_trunk_extracts(params, enc, cfg: WaveNetAEConfig, needed_taps):
         a.astype(dtype) for a in stack_trunk_weights(params, n)
     )
     if b == 1:
-        taps = [tp[None] for tp in fused_trunk(enc[0], wd, bd, wr, br, dils, emit)]
+        taps = [tp[None] for tp in fused_trunk(enc[0], wd, bd, wr, br, dils,
+                                               emit, valid_window=valid_window)]
     else:
         taps = list(
             jax.vmap(lambda z: fused_trunk(z, wd, bd, wr, br, dils, emit))(enc)

@@ -55,6 +55,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -70,6 +71,14 @@ _REF_ALIGN = 16
 _SCOPED_VMEM_BUDGET = int(
     os.environ.get("AST_CHAIN_VMEM_BUDGET", 13 * 1024 * 1024)
 )
+# Merge each layer's three tap matmuls into ONE k=3C MXU contraction
+# (concat the taps on lanes, flatten the filter into the contraction
+# axis).  Same FLOPs, same f32 accumulation order (the MXU runs the
+# k-slabs in tap order either way), one instruction issue instead of
+# three — targeting the ~0.14 us/issue overhead the round-3 ablations
+# left as the remaining per-layer cost.  A/B-gated per direction.
+_MERGE_FWD = os.environ.get("AST_CHAIN_MERGE_FWD", "0") == "1"
+_MERGE_BWD = os.environ.get("AST_CHAIN_MERGE_BWD", "0") == "1"
 # Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
 # dilated-conv accumulator + relu'd operand + residual in flight), used
 # by the tile picker; env-overridable for tuning experiments.
@@ -400,17 +409,33 @@ def _clip_mask(w: int, lead: int, pos, tile: int, cp: int, dtype):
     return ((g >= 0) & (g < cp * tile)).astype(dtype)
 
 
+def _window_mask(w: int, lead: int, pos, tile: int, cp: int, dtype, lo, hi):
+    """Generalized :func:`_clip_mask`: 1 where the global in-clip row
+    pos*tile - lead + q lies inside [max(lo, 0), min(hi, clip)).  ``lo``/
+    ``hi`` are DYNAMIC scalars (SMEM) — the arbitrary valid windows of
+    the halo-sharded trunk (parallel/halo.py: edge shards carry halo rows
+    outside the global sequence that SAME-padding semantics require to
+    stay zero through every layer)."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    g = pos * tile - lead + q
+    lo = jnp.maximum(lo, 0)
+    hi = jnp.minimum(hi, cp * tile)
+    return ((g >= lo) & (g < hi)).astype(dtype)
+
+
 # --------------------------------------------------------------------- #
 # Forward group kernel
 # --------------------------------------------------------------------- #
 
 
 def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
-                      *refs):
+                      windowed: bool, *refs):
     k, tile = plan.k, plan.tile
     suffix = plan.suffix
     n_taps = len(plan.emits)
 
+    if windowed:
+        vw_ref, *refs = refs
     x_c, x_l, x_r, wd_ref, bd_ref, wr_ref, br_ref = refs[:7]
     tap_outs = refs[7 : 7 + n_taps]
     cm_out = refs[7 + n_taps]
@@ -438,15 +463,31 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
         r = jnp.maximum(cur, jnp.zeros((), cur.dtype))
         off = a_prev - a_j
         left, cen, right = _tap3(r, off, d, w_j)
-        y = _dot(left, wd_ref[j, 0])
-        y += _dot(cen, wd_ref[j, 1])
-        y += _dot(right, wd_ref[j, 2])
+        if _MERGE_FWD:
+            # One k=3C contraction ([w, 3C] @ [3C, C]); the MXU runs the
+            # k-slabs in tap order, so the f32 accumulation sequence is
+            # identical to the three-dot chain below.
+            y = _dot(jnp.concatenate([left, cen, right], axis=1),
+                     wd_ref[j].reshape(3 * left.shape[1], left.shape[1]))
+        else:
+            y = _dot(left, wd_ref[j, 0])
+            y += _dot(cen, wd_ref[j, 1])
+            y += _dot(right, wd_ref[j, 2])
         y = y + bd_ref[j][None, :]
         dtype = cur.dtype
         v = jnp.maximum(y, 0.0).astype(dtype)
         z = _dot(v, wr_ref[j]) + br_ref[j][None, :]
         out = jax.lax.slice_in_dim(cur, off, off + w_j) + z.astype(dtype)
-        if a_j > 0:
+        if windowed:
+            # Valid-window semantics: every layer output is re-zeroed
+            # outside [lo, hi) — exactly what the masked XLA trunk does
+            # per layer (models.wavenet_ae.encoder_trunk valid_mask) —
+            # including a_j == 0 layers, whose center rows may now be
+            # invalid.  lo/hi are dynamic, so no tile is statically
+            # interior.
+            out = out * _window_mask(w_j, a_j, pos, tile, cp, dtype,
+                                     vw_ref[0], vw_ref[1])
+        elif a_j > 0:
             # SAME-padding fidelity: window HALO rows outside the clip
             # must stay zero (bias adds would otherwise leak into later
             # layers' halo taps).  _clip_mask is all-ones on interior
@@ -482,11 +523,13 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
 
 
 def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
-               input_mask: bool = False):
+               input_mask: bool = False, valid_window=None):
     """One forward group launch.
 
     Args: x [rows, C] (rows a multiple of clip_rows); wd [K, 3, C, C];
-      bd [K, C]; wr [K, C, C]; br [K, C].
+      bd [K, C]; wr [K, C, C]; br [K, C]; valid_window — optional [2]
+      int32 (lo, hi) clip-relative valid window (dynamic); layer outputs
+      are re-zeroed outside it (halo-sharded trunks, parallel/halo.py).
     Returns: (taps, cm[, input relu mask]) — taps[j] for j in plan.emits
     ([-1] is the group output); cm is ONE packed int8 [rows, C] with
     bit 2j = (x_{k0+j+1} > 0) and bit 2j+1 = (y_{k0+j} > 0) for every
@@ -502,24 +545,32 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
     cp = clip_rows // tile
     n_taps = len(plan.emits)
     dtype = x.dtype
+    windowed = valid_window is not None
 
-    kernel = functools.partial(_fwd_group_kernel, plan, cp, h, input_mask)
+    kernel = functools.partial(_fwd_group_kernel, plan, cp, h, input_mask,
+                               windowed)
     f32 = jnp.float32
     n_masks = 1 + (1 if input_mask else 0)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, c), dtype)] * n_taps
         + [jax.ShapeDtypeStruct((rows, c), jnp.int8)] * n_masks
     )
+    vw_in = []
+    vw_spec = []
+    if windowed:
+        vw_in = [jnp.asarray(valid_window, jnp.int32)]
+        vw_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     outs = pl.pallas_call(
         kernel,
         grid=(nprog,),
-        in_specs=_halo_specs(tile, h, c, lambda: rows // h)
+        in_specs=vw_spec
+        + _halo_specs(tile, h, c, lambda: rows // h)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0))]
         * (n_taps + n_masks),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tile + 2 * h, c), dtype)],
-    )(x, x, x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype),
+    )(*vw_in, x, x, x, wd.astype(dtype), bd.astype(f32), wr.astype(dtype),
       br.astype(f32))
     if input_mask:
         return outs[:n_taps], outs[n_taps], outs[-1]
@@ -532,7 +583,7 @@ def _fwd_group(plan: GroupPlan, x, wd, bd, wr, br, clip_rows: int,
 
 
 def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
-                      prev_bit: int, *refs):
+                      prev_bit: int, windowed: bool, *refs):
     """Backward over one group with PACKED masks: the whole group's relu
     masks arrive as ONE int8 array (bit 2j = layer j's output mask, bit
     2j+1 = its gate mask) loaded once per tile with the group halo, plus
@@ -548,6 +599,7 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
 
     it = iter(refs)
     take = lambda n: [next(it) for _ in range(n)]
+    vw_ref = next(it) if windowed else None
     dx_ref, wd_ref, wr_ref, cm_own_ref, cm_prev_ref = take(5)
     g_refs = take(ng)
     out_ref = next(it)
@@ -555,6 +607,7 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
      cm_own_sems, cm_prev_sems, g_sems, out_sem) = take(10)
 
     i = pl.program_id(0)
+    pos = jax.lax.rem(i, cp)
 
     def g_load(s, start):
         j = k - 1 - s
@@ -598,6 +651,12 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
             dxe = carry[(s - 1) % 2, pl.ds(nk - n_j1, tile + 2 * n_j1)]
         if j in g_locals:
             dxe = dxe + g_slots[s % 2, pl.ds(0, tile + 2 * n_j1)]
+        if windowed:
+            # x_{j+1} = window ⊙ (x_j + f(x_j)) in the forward — the
+            # cotangent of the unmasked sum is window ⊙ dx_{j+1} (tap
+            # cotangent included: the emitted tap IS the masked value).
+            dxe = dxe * _window_mask(tile + 2 * n_j1, n_j1, pos, tile, cp,
+                                     dxe.dtype, vw_ref[0], vw_ref[1])
 
         dv = _dot_t(jax.lax.slice_in_dim(dxe, n_j1 - q, n_j1 - q + w_dy),
                     wr_ref[j])
@@ -605,9 +664,16 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
         dy = (dv * ym).astype(dtype)
 
         left, cen, right = _tap3(dy, q - n_j, d, w_out)
-        dr = _dot_t(right, wd_ref[j, 0])
-        dr += _dot_t(cen, wd_ref[j, 1])
-        dr += _dot_t(left, wd_ref[j, 2])
+        if _MERGE_BWD:
+            # wd_ref arrives pre-transposed as [K, 3C, C] with rows
+            # [w0^T; w1^T; w2^T] (see _bwd_group); one k=3C contraction
+            # replaces the three transposed tap dots, same f32 order.
+            dr = _dot(jnp.concatenate([right, cen, left], axis=1),
+                      wd_ref[j])
+        else:
+            dr = _dot_t(right, wd_ref[j, 0])
+            dr += _dot_t(cen, wd_ref[j, 1])
+            dr += _dot_t(left, wd_ref[j, 2])
         if j >= 1:
             xm = bit(cm_own_slot[pl.ds(nk - n_j, w_out)], 2 * (j - 1))
         else:
@@ -632,7 +698,7 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
 
 
 def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
-               gs: dict, wd, wr, clip_rows: int):
+               gs: dict, wd, wr, clip_rows: int, valid_window=None):
     """One backward group launch.
 
     Args: dx [rows, C] — cotangent of the group output x_{k0+K};
@@ -651,13 +717,23 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
     cp = clip_rows // tile
     dtype = dx.dtype
     g_locals = tuple(sorted(gs))
+    windowed = valid_window is not None
 
     kernel = functools.partial(_bwd_group_kernel, plan, cp, g_locals,
-                               prev_bit)
+                               prev_bit, windowed)
+    if _MERGE_BWD:
+        # Pre-transpose the tap weights once per launch (tiny [K,3,C,C]
+        # reshuffle in XLA): rows [w0^T; w1^T; w2^T] per layer.
+        wd = jnp.swapaxes(wd, 2, 3).reshape(wd.shape[0], -1, c)
+    vw_in, vw_spec = [], []
+    if windowed:
+        vw_in = [jnp.asarray(valid_window, jnp.int32)]
+        vw_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=vw_spec
+        + [pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(g_locals)),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -674,7 +750,7 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(dx, wd.astype(dtype), wr.astype(dtype), cm_own, cm_prev,
+    )(*vw_in, dx, wd.astype(dtype), wr.astype(dtype), cm_own, cm_prev,
       *[gs[j] for j in g_locals])
 
 
@@ -697,7 +773,8 @@ def stack_trunk_weights(params, num_layers: int = 30):
     return wd, bd, wr, br
 
 
-def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
+def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows,
+                    valid_window=None):
     """Run all groups; returns (taps dict by global id, cms).
 
     cms[0] is the trunk input's relu mask (bit 0 only); cms[1 + g] is
@@ -715,6 +792,7 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
         outs = _fwd_group(
             plan, cur, wd[k0 : k0 + k], bd[k0 : k0 + k], wr[k0 : k0 + k],
             br[k0 : k0 + k], clip_rows, input_mask=(k0 == 0),
+            valid_window=valid_window,
         )
         if k0 == 0:
             g_taps, g_cm, cm0 = outs
@@ -728,7 +806,8 @@ def _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br, clip_rows):
     return taps, tuple(cms)
 
 
-def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
+def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows,
+                    valid_window=None):
     c = cms[0].shape[-1]
     last = len(dils) - 1
     dx = dtaps[last]
@@ -753,44 +832,66 @@ def _trunk_bwd_impl(dils, emit, dtaps: dict, cms, wd, wr, clip_rows):
         dx = _bwd_group(
             plan, dx, cms[1 + gi], cms[gi], prev_bit, gs,
             wd[k0 : k0 + k], wr[k0 : k0 + k], clip_rows,
+            valid_window=valid_window,
         )
     return dx
 
 
-def reference_trunk(x, wd, bd, wr, br, dils, emit):
-    """Unfused XLA oracle: same trunk, same emitted-tap tuple."""
+def reference_trunk(x, wd, bd, wr, br, dils, emit, valid_window=None):
+    """Unfused XLA oracle: same trunk, same emitted-tap tuple.
+
+    ``valid_window``: optional (lo, hi) — every layer output is re-zeroed
+    outside [lo, hi), matching the masked trunk semantics of
+    models.wavenet_ae.encoder_trunk(valid_mask=...)."""
     from audio_style_transfer_tpu.ops.pallas_encoder import (
         reference_encoder_block,
     )
+
+    mask = None
+    if valid_window is not None:
+        vw = jnp.asarray(valid_window, jnp.int32)
+        pos = jnp.arange(x.shape[0])
+        mask = ((pos >= vw[0]) & (pos < vw[1])).astype(x.dtype)[:, None]
 
     taps = {}
     cur = x
     for j, d in enumerate(dils):
         cur = reference_encoder_block(cur, wd[j], bd[j], wr[j][None], br[j], d)
+        if mask is not None:
+            cur = cur * mask
         if j in emit:
             taps[j] = cur
     return tuple(taps[j] for j in sorted(taps))
 
 
 @functools.lru_cache(maxsize=None)
-def _make_trunk(dils: tuple, emit: tuple):
+def _make_trunk(dils: tuple, emit: tuple, windowed: bool = False):
     """Build the custom-VJP (+ custom-vmap) trunk op for one geometry.
 
     ``emit`` must contain len(dils) - 1 (the trunk output).  The returned
-    function maps (x [T, C], wd, bd, wr, br) -> tuple of emitted taps in
-    ascending layer order.
+    function maps (x [T, C], wd, bd, wr, br[, vw]) -> tuple of emitted
+    taps in ascending layer order.  The ``windowed`` variant takes a [2]
+    int32 (lo, hi) valid window as its last argument and re-zeroes every
+    layer output outside it (the halo-sharded trunk's SAME-padding
+    contract, parallel/halo.py).
     """
     assert (len(dils) - 1) in emit
     emit = tuple(sorted(emit))
 
     @jax.custom_batching.custom_vmap
-    def fwd_b(x, wd, bd, wr, br):
+    def fwd_b(x, wd, bd, wr, br, vw):
         taps, cms = _trunk_fwd_impl(dils, emit, x, wd, bd, wr, br,
-                                    x.shape[0])
+                                    x.shape[0],
+                                    valid_window=vw if windowed else None)
         return tuple(taps[j] for j in emit), cms
 
     @fwd_b.def_vmap
-    def _fwd_rule(axis_size, in_batched, x, wd, bd, wr, br):
+    def _fwd_rule(axis_size, in_batched, x, wd, bd, wr, br, vw):
+        if windowed:
+            raise NotImplementedError(
+                "fused_trunk: the windowed trunk cannot be vmapped (the "
+                "valid window is per-clip state)"
+            )
         if not in_batched[0] or any(in_batched[1:]):
             raise NotImplementedError(
                 "fused_trunk: only the activations may be vmapped "
@@ -808,15 +909,20 @@ def _make_trunk(dils: tuple, emit: tuple):
         return out, jax.tree.map(lambda _: True, out)
 
     @jax.custom_batching.custom_vmap
-    def bwd_b(dtaps, cms, wd, wr):
+    def bwd_b(dtaps, cms, wd, wr, vw):
         dx = _trunk_bwd_impl(
             dils, emit, dict(zip(emit, dtaps)), cms, wd, wr,
             dtaps[0].shape[0],
+            valid_window=vw if windowed else None,
         )
         return dx
 
     @bwd_b.def_vmap
-    def _bwd_rule(axis_size, in_batched, dtaps, cms, wd, wr):
+    def _bwd_rule(axis_size, in_batched, dtaps, cms, wd, wr, vw):
+        if windowed:
+            raise NotImplementedError(
+                "fused_trunk backward: the windowed trunk cannot be vmapped"
+            )
         ok_t = all(jax.tree.leaves(in_batched[:2]))
         if not ok_t or any(jax.tree.leaves(in_batched[2:])):
             raise NotImplementedError(
@@ -833,34 +939,43 @@ def _make_trunk(dils: tuple, emit: tuple):
         return dx.reshape(b, t, c), True
 
     @jax.custom_vjp
-    def trunk(x, wd, bd, wr, br):
-        taps, _ = fwd_b(x, wd, bd, wr, br)
+    def trunk(x, wd, bd, wr, br, vw):
+        taps, _ = fwd_b(x, wd, bd, wr, br, vw)
         return taps
 
-    def vjp_fwd(x, wd, bd, wr, br):
-        taps, cms = fwd_b(x, wd, bd, wr, br)
-        return taps, (x, wd, bd, wr, br, cms)
+    def vjp_fwd(x, wd, bd, wr, br, vw):
+        taps, cms = fwd_b(x, wd, bd, wr, br, vw)
+        return taps, (x, wd, bd, wr, br, vw, cms)
 
     def vjp_bwd(res, dtaps):
-        x, wd, bd, wr, br, cms = res
-        dx = bwd_b(tuple(dtaps), cms, wd, wr)
+        x, wd, bd, wr, br, vw, cms = res
+        dx = bwd_b(tuple(dtaps), cms, wd, wr, vw)
         # Weight cotangents via XLA recompute — DCE-pruned whenever the
         # caller (the transfer hot path: frozen weights) does not consume
         # them, correct when a training loss differentiates through.
         _, pull = jax.vjp(
             lambda wd_, bd_, wr_, br_: reference_trunk(
-                x, wd_, bd_, wr_, br_, dils, emit
+                x, wd_, bd_, wr_, br_, dils, emit,
+                valid_window=vw if windowed else None,
             ),
             wd, bd, wr, br,
         )
         dwd, dbd, dwr, dbr = pull(tuple(dtaps))
-        return dx, dwd, dbd, dwr, dbr
+        # The valid window is integer state, not a differentiable input.
+        dvw = np.zeros((2,), dtype=jax.dtypes.float0)
+        return dx, dwd, dbd, dwr, dbr, dvw
 
     trunk.defvjp(vjp_fwd, vjp_bwd)
     return trunk
 
 
-def fused_trunk(x, wd, bd, wr, br, dils, emit):
+# Placeholder window for the unwindowed trunk (its kernels never read
+# it).  A HOST constant: materializing a jnp array lazily here leaked a
+# tracer into later traces (round-4 regression caught by bench --strict).
+_NO_WINDOW = np.zeros((2,), np.int32)
+
+
+def fused_trunk(x, wd, bd, wr, br, dils, emit, valid_window=None):
     """Chained-kernel encoder trunk on [T, C] (or vmapped [B, T, C])
     activations.
 
@@ -869,6 +984,14 @@ def fused_trunk(x, wd, bd, wr, br, dils, emit):
     the last layer).  Waveform gradients flow through the chained Pallas
     backward kernels; weight gradients through an XLA recompute (pruned
     by DCE when unused).
+
+    ``valid_window``: optional [2] int32 (lo, hi) — every layer output is
+    re-zeroed outside [lo, hi), matching the masked XLA trunk
+    (models.wavenet_ae.encoder_trunk valid_mask) so the halo-sharded
+    exact long-form path (parallel/halo.py) runs these kernels instead of
+    falling back to XLA convs.  Not vmappable (per-clip state).
     """
     emit = tuple(sorted(set(emit) | {len(dils) - 1}))
-    return _make_trunk(tuple(dils), emit)(x, wd, bd, wr, br)
+    windowed = valid_window is not None
+    vw = jnp.asarray(valid_window if windowed else _NO_WINDOW, jnp.int32)
+    return _make_trunk(tuple(dils), emit, windowed)(x, wd, bd, wr, br, vw)

@@ -68,29 +68,41 @@ def _exchange_halos(x_local, radius: int, axis_name: str):
     return jnp.concatenate([left_halo, x_local, right_halo], axis=1)
 
 
-def time_sharded_trunk(params, x_local, cfg: WaveNetAEConfig, axis_name: str = "time"):
+def time_sharded_trunk(params, x_local, cfg: WaveNetAEConfig,
+                       axis_name: str = "time", needed_taps=None):
     """Per-shard encoder trunk with exact full-sequence semantics.
 
     Call inside ``shard_map`` with the waveform sharded as P(None, axis).
-    Returns the 32 extracts cropped back to the local chunk.
+    Returns the 32 extracts cropped back to the local chunk (entries the
+    caller did not list in ``needed_taps`` may be None — see
+    models.wavenet_ae.encoder_trunk).
+
+    The exchanged halo is the receptive-field radius rounded UP to a
+    multiple of 512: a larger halo is semantically free (the extra rows
+    are exact neighbour samples, cropped below), and it keeps the
+    extended chunk length divisible by a >=128 power-of-two so the
+    chained Pallas trunk (ops/pallas_chain.py) admits a feasible plan —
+    3070 alone would leave clip_rows divisible only by 4.
     """
-    radius = receptive_field_radius(cfg)
+    radius = -(-receptive_field_radius(cfg) // 512) * 512
     x_ext = _exchange_halos(x_local, radius, axis_name)
 
     # Mark which extended positions lie inside the global sequence: only the
     # first/last devices carry out-of-range halo (their neighbours across the
     # ring wrap don't exist). The trunk re-zeroes masked positions per layer
     # so SAME-padding numerics match the single-device encoder exactly.
+    # Expressed as a CONTIGUOUS (lo, hi) window so the chained Pallas
+    # kernels run this path natively (valid_window); the XLA fallback
+    # derives the same boolean mask from it.
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     chunk = x_local.shape[1]
-    pos = jnp.arange(chunk + 2 * radius)
-    valid = jnp.where(idx == 0, pos >= radius, True) & jnp.where(
-        idx == n - 1, pos < chunk + radius, True
-    )
+    lo = jnp.where(idx == 0, radius, 0)
+    hi = jnp.where(idx == n - 1, chunk + radius, chunk + 2 * radius)
 
-    extracts = encoder_trunk(params, x_ext, cfg, valid_mask=valid)
-    return [e[:, radius:-radius, :] for e in extracts]
+    extracts = encoder_trunk(params, x_ext, cfg, valid_window=(lo, hi),
+                             needed_taps=needed_taps)
+    return [None if e is None else e[:, radius:-radius, :] for e in extracts]
 
 
 def sharded_stft_l1(
@@ -172,8 +184,11 @@ def make_sharded_embeds_fn(
     params as an ARGUMENT keeps the callable cacheable/jittable once per
     (cfg, spec, mesh) instead of once per weights pytree."""
 
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+
     def local(params, x_local):
-        extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
+        extracts = time_sharded_trunk(params, x_local, cfg, axis_name,
+                                      needed_taps=needed)
         c_local = jnp.concatenate(
             [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
             axis=2,
@@ -225,8 +240,11 @@ def make_sharded_loss_fn(
     ARGUMENTS so one traced program serves every clip (see
     transfer/longform.transfer_exact's per-(mesh, cfg) program cache)."""
 
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+
     def local_loss(params, x_local, phi_c_local, phi_s_rep):
-        extracts = time_sharded_trunk(params, x_local, cfg, axis_name)
+        extracts = time_sharded_trunk(params, x_local, cfg, axis_name,
+                                      needed_taps=needed)
 
         # Content term: local MSE partial sums -> pmean is exact because all
         # shards are equal length.

@@ -71,6 +71,7 @@ def transfer_longform(
     epochs: int | None = None,
     max_style_examples: int = 5,
     ot_components: int | None = None,
+    ot_blend: float = 0.5,
     crossfade: int = 256,
     mesh=None,
     windows_per_device: int = 8,
@@ -84,6 +85,9 @@ def transfer_longform(
       ot_components: if set, transform the averaged *bottleneck features* of
         the style target through NMF + optimal transport before building the
         style grams (the reference's utils.transform pipeline).
+      ot_blend: weight of the OT translated-gram delta on the style target
+        (0 = reference target untouched, 1 = full correction; see
+        _ot_transform_gram for the measured sensitivity).
       crossfade: samples of linear crossfade when stitching windows.
       mesh: optional 1-D jax Mesh — windows shard across its devices
         (the v5e-8 scale-out path; window count must divide device count).
@@ -107,7 +111,7 @@ def transfer_longform(
 
     if ot_components is not None:
         phi_t = _ot_transform_gram(engine, style_audio, content_audio,
-                                   phi_t, ot_components)
+                                   phi_t, ot_components, blend=ot_blend)
 
     # Per-window content embeds + translated style targets, computed in ONE
     # jitted device program (lax.map over windows) with the results left on
@@ -274,19 +278,31 @@ def _stack_gram(stack, lspec, style_ids):
     ).astype(jnp.float32)
 
 
-def _ot_transform_gram(engine, style_audio, content_audio, phi_t, n_components):
+def _ot_transform_gram(engine, style_audio, content_audio, phi_t,
+                       n_components, blend: float = 0.5):
     """Style target with the full OT-translated gram blended in (config
     5's "OT loss").  The correction is the DELTA between the translated
     and untranslated relu'd-tap grams — a same-space difference, so the
     relu-vs-raw statistic mismatch cancels and the correction is exactly
     zero when the transport is the identity (OT-off ≡ reference target).
     Round 2's diagonal-rescale heuristic is gone: the translated
-    statistic participates as a full gram."""
+    statistic participates as a full gram.
+
+    ``blend`` scales the delta: 0 reproduces the reference target
+    exactly, 1 applies the full translated-gram correction.  Measured at
+    full geometry (tests/test_longform.py blend sweep + BENCH_NOTES
+    round 4): the target's distance to the style gram decreases
+    monotonically as blend rises; 0.5 (the default) takes ~half the
+    measured movement — a style-lean that keeps the reference target
+    dominant.  The reference never wired OT into a loss
+    (utils.py:132-145 builds the transform but stops at features), so
+    there is no parity constraint — the knob is exposed on
+    transfer_longform and the CLI."""
     g_ot, g_c, _ = ot_translated_gram(
         engine, style_audio, content_audio, n_components
     )
     return np.asarray(
-        l2_normalize(jnp.asarray(phi_t + 0.5 * (g_ot - g_c)), axes=(1, 2))
+        l2_normalize(jnp.asarray(phi_t + blend * (g_ot - g_c)), axes=(1, 2))
     )
 
 

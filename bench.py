@@ -256,13 +256,21 @@ def run_longform(params, args):
     style = synth_audio(4.0, kind="style")
 
     def timed_run(eng):
-        t0 = time.time()
-        res = transfer_longform(eng, content, style, epochs=spec.epochs,
-                                ot_components=8)
-        dt = time.time() - t0
+        # Min-of-3 like the north star (deterministic program; the min
+        # isolates the chip from ambient tunnel-latency draws, which
+        # round-3 measured at 10-15% — larger than the margins being
+        # judged). First call additionally warms the compile caches.
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            res = transfer_longform(eng, content, style, epochs=spec.epochs,
+                                    ot_components=8)
+            walls.append(time.time() - t0)
+        dt = min(walls)
         evals = int(np.sum(res.per_window["evals"]))
         return {
             "wallclock_s": round(dt, 1),
+            "wallclock_runs_s": [round(w, 1) for w in walls],
             "windows": int(res.per_window["evals"].shape[0]),
             "epochs": spec.epochs,
             "evals": evals,
@@ -304,11 +312,18 @@ def run_suite(params, args, content, style):
         phi_c, phi = jax.device_put(phi_c), jax.device_put(phi)
         jax.block_until_ready((phi_c, phi))
         fn(phi_c, phi, epochs=epochs)  # warmup/compile
-        t0 = time.time()
-        r = fn(phi_c, phi, epochs=epochs)
-        dt = time.time() - t0
+        # Min-of-3 (deterministic program): one ambient-latency draw must
+        # not decide a config's recorded number.
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            r = fn(phi_c, phi, epochs=epochs)
+            walls.append(time.time() - t0)
+        dt = min(walls)
         evals = int(np.sum(r["evals"]))
-        return {"wallclock_s": round(dt, 3), "evals": evals,
+        return {"wallclock_s": round(dt, 3),
+                "wallclock_runs_s": [round(w, 3) for w in walls],
+                "evals": evals,
                 "iters_per_sec": round(evals / dt, 2)}
 
     base = dict(

@@ -274,3 +274,111 @@ def test_encoder_trunk_chain_path_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(got[5]), np.asarray(ref[5]), rtol=1e-6, atol=1e-6
     )
+
+
+def test_windowed_forward_and_gradient_match_masked_reference():
+    """Valid-window chained kernels == the valid-masked XLA trunk (loss +
+    gradient) — the contract the halo-sharded exact long-form path relies
+    on (parallel/halo.py: edge shards re-zero halo rows outside the
+    global sequence at every layer).  Covers an interior window (both
+    edges strict), a left-edge window, and the full window (mask = all
+    ones must be exactly a no-op)."""
+    dils = (1, 2, 4)
+    emit = (0, 2)
+    x, wd, bd, wr, br = _inputs(t=256, n=3, seed=51)
+    tg = [
+        jnp.asarray(np.random.RandomState(52 + i).randn(256, 8).astype(np.float32))
+        for i in range(2)
+    ]
+
+    def loss(fn, z, vw):
+        taps = fn(z, wd, bd, wr, br, dils, emit, valid_window=vw)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    for lo, hi in [(32, 224), (48, 256), (0, 256)]:
+        vw = jnp.asarray([lo, hi], jnp.int32)
+        taps_f = fused_trunk(x, wd, bd, wr, br, dils, emit, valid_window=vw)
+        taps_r = reference_trunk(x, wd, bd, wr, br, dils, emit,
+                                 valid_window=vw)
+        for i, (a, b) in enumerate(zip(taps_f, taps_r)):
+            # masked rows must be exactly zero
+            assert float(jnp.max(jnp.abs(a[:lo]))) == 0.0 if lo else True
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=f"window ({lo},{hi}) tap {i}",
+            )
+
+        fv, g_fused = jax.value_and_grad(
+            functools.partial(loss, fused_trunk), argnums=0
+        )(x, vw)
+        rv, g_ref = jax.value_and_grad(
+            functools.partial(loss, reference_trunk), argnums=0
+        )(x, vw)
+        np.testing.assert_allclose(float(fv), float(rv), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4,
+            err_msg=f"window ({lo},{hi})",
+        )
+
+
+def test_windowed_gradient_multi_group():
+    """Valid-window masking across a forced group split (the packed-mask
+    handoff between groups must see the masked values on both sides)."""
+    dils = (256, 512)
+    emit = (0, 1)
+    x, wd, bd, wr, br = _inputs(t=512, n=2, seed=61)
+    assert len(plan_groups(dils, 512, 8, 4, emit)) >= 2
+    tg = [
+        jnp.asarray(np.random.RandomState(62 + i).randn(512, 8).astype(np.float32))
+        for i in range(2)
+    ]
+    vw = jnp.asarray([64, 448], jnp.int32)
+
+    def loss(fn, z):
+        taps = fn(z, wd, bd, wr, br, dils, emit, valid_window=vw)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    g_fused = jax.grad(functools.partial(loss, fused_trunk))(x)
+    g_ref = jax.grad(functools.partial(loss, reference_trunk))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_encoder_trunk_valid_window_chain_matches_masked_xla():
+    """encoder_trunk(chain_encoder=True, valid_window=...) == the
+    valid-mask XLA trunk — including the startconv masking outside the
+    kernels and the bottleneck tail."""
+    import dataclasses
+
+    from audio_style_transfer_tpu.models.wavenet_ae import (
+        WaveNetAEConfig,
+        encoder_trunk,
+        init_params,
+    )
+
+    cfg = WaveNetAEConfig(
+        ae_num_layers=4, ae_num_stages=4, ae_width=8, ae_bottleneck_width=4,
+        num_layers=2, width=8, skip_width=8,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    xq = jnp.asarray(
+        np.random.RandomState(3).randint(-128, 128, (1, 512)).astype(np.float32)
+    )
+    pos = np.arange(512)
+    mask = jnp.asarray((pos >= 96) & (pos < 416))
+    ref = encoder_trunk(params, xq, cfg, valid_mask=mask)
+    chain_cfg = dataclasses.replace(cfg, chain_encoder=True)
+    got = encoder_trunk(params, xq, chain_cfg,
+                        valid_window=(jnp.int32(96), jnp.int32(416)))
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref[i]), rtol=1e-6, atol=1e-6,
+            err_msg=f"extract {i}",
+        )
