@@ -76,8 +76,13 @@ _SCOPED_VMEM_BUDGET = int(
 # axis).  Same FLOPs, same f32 accumulation order (the MXU runs the
 # k-slabs in tap order either way), one instruction issue instead of
 # three — targeting the ~0.14 us/issue overhead the round-3 ablations
-# left as the remaining per-layer cost.  A/B-gated per direction.
-_MERGE_FWD = os.environ.get("AST_CHAIN_MERGE_FWD", "0") == "1"
+# left as the remaining per-layer cost.  A/B-gated per direction; the
+# round-4 TPU A/B (min-of-3, north star): fwd merge 2.124 -> 2.072 s
+# with a bit-identical trajectory, so it is the default; the bwd merge
+# measured SLOWER (2.072 -> 2.145 s — the dy-slice concat copies plus
+# the per-launch weight re-transpose cost more than the two saved
+# issues), so the backward keeps the three-dot chain.
+_MERGE_FWD = os.environ.get("AST_CHAIN_MERGE_FWD", "1") == "1"
 _MERGE_BWD = os.environ.get("AST_CHAIN_MERGE_BWD", "0") == "1"
 # Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
 # dilated-conv accumulator + relu'd operand + residual in flight), used
