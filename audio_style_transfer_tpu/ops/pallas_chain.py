@@ -83,7 +83,11 @@ _SCOPED_VMEM_BUDGET = int(
 # the per-launch weight re-transpose cost more than the two saved
 # issues), so the backward keeps the three-dot chain.
 _MERGE_FWD = os.environ.get("AST_CHAIN_MERGE_FWD", "1") == "1"
-_MERGE_BWD = os.environ.get("AST_CHAIN_MERGE_BWD", "0") == "1"
+# Backward merge mode: 0 = three transposed tap dots (keeper until round
+# 4's N-merge measurement); 1 = K-merge (operand concat — measured SLOWER,
+# see above); 2 = N-merge (weights stacked on the output axis, dy read
+# once, dr = shifted lane-slices of one [*, 3C] product).
+_MERGE_BWD = int(os.environ.get("AST_CHAIN_MERGE_BWD", "0"))
 # Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
 # dilated-conv accumulator + relu'd operand + residual in flight), used
 # by the tile picker; env-overridable for tuning experiments.
@@ -189,6 +193,9 @@ _BWD_MM = 4
 # what makes the DP value them.
 _TILE_FIXED_ROWS = int(os.environ.get("AST_CHAIN_TILE_FIXED", 5000))
 _MAX_TILE = int(os.environ.get("AST_CHAIN_MAX_TILE", 8192))
+# A/B hook: fixed group sizes (comma-separated, tiled cyclically over
+# the stack) instead of the DP's pick, e.g. AST_CHAIN_PARTITION=4,4,2.
+_PARTITION_OVERRIDE = os.environ.get("AST_CHAIN_PARTITION", "")
 
 
 def _group_cost(dils, clip_rows, c, itemsize, n_emit):
@@ -262,9 +269,20 @@ def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int,
             f"no feasible chain partition for dilations={dils} at "
             f"clip_rows={clip_rows}"
         )
+    sizes = []
+    if _PARTITION_OVERRIDE:
+        # A/B hook: comma-separated group sizes, repeated cyclically over
+        # the layer stack (e.g. "4,4,2" tiles a 30-layer trunk as
+        # [4,4,2]x3).  Feasibility is still checked per group below.
+        pat = [int(s) for s in _PARTITION_OVERRIDE.split(",")]
+        while sum(sizes) < n:
+            sizes.extend(pat)
+        assert sum(sizes) == n, (
+            f"AST_CHAIN_PARTITION {pat} does not tile {n} layers"
+        )
     plans, i = [], 0
     while i < n:
-        k = best[i][1]
+        k = sizes[len(plans)] if sizes else best[i][1]
         g = dils[i : i + k]
         suffix, halo = _suffix_halos(g)
         prefix = _prefix_halos(g)
@@ -668,14 +686,40 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
         ym = bit(cm_own_slot[pl.ds(nk - q, w_dy)], 2 * j + 1)
         dy = (dv * ym).astype(dtype)
 
-        left, cen, right = _tap3(dy, q - n_j, d, w_out)
-        if _MERGE_BWD:
+        off = q - n_j
+        if _MERGE_BWD == 2:
+            # One [w_dy, C] x [C, 3C] issue (wd_ref[j] is [3C, C] rows
+            # [w0; w1; w2], see _bwd_group); dr's three terms are
+            # row-shifted lane-slices of e, added in the same order as
+            # the three-dot chain — identical f32 accumulation (each
+            # slab IS one of the old dots, elementwise).
+            cdim = dy.shape[1]
+            e = _dot_t(dy, wd_ref[j])  # [w_dy, 3C] f32
+            e0 = jax.lax.slice_in_dim(e, 0, cdim, axis=1)
+            e1 = jax.lax.slice_in_dim(e, cdim, 2 * cdim, axis=1)
+            e2 = jax.lax.slice_in_dim(e, 2 * cdim, 3 * cdim, axis=1)
+            if d < _REF_ALIGN:
+                rows = e.shape[0]
+                # Same roll-then-slice alignment trick as _tap3 (the
+                # slabs are already f32, Mosaic's 32-bit-only rotate
+                # needs no cast here).
+                re = jax.lax.slice_in_dim(
+                    pltpu.roll(e0, rows - d, 0), off, off + w_out)
+                le = jax.lax.slice_in_dim(
+                    pltpu.roll(e2, d, 0), off, off + w_out)
+            else:
+                re = jax.lax.slice_in_dim(e0, off + d, off + d + w_out)
+                le = jax.lax.slice_in_dim(e2, off - d, off - d + w_out)
+            dr = re + jax.lax.slice_in_dim(e1, off, off + w_out) + le
+        elif _MERGE_BWD == 1:
+            left, cen, right = _tap3(dy, off, d, w_out)
             # wd_ref arrives pre-transposed as [K, 3C, C] with rows
             # [w0^T; w1^T; w2^T] (see _bwd_group); one k=3C contraction
             # replaces the three transposed tap dots, same f32 order.
             dr = _dot(jnp.concatenate([right, cen, left], axis=1),
                       wd_ref[j])
         else:
+            left, cen, right = _tap3(dy, off, d, w_out)
             dr = _dot_t(right, wd_ref[j, 0])
             dr += _dot_t(cen, wd_ref[j, 1])
             dr += _dot_t(left, wd_ref[j, 2])
@@ -726,10 +770,18 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
 
     kernel = functools.partial(_bwd_group_kernel, plan, cp, g_locals,
                                prev_bit, windowed)
-    if _MERGE_BWD:
+    if _MERGE_BWD == 1:
         # Pre-transpose the tap weights once per launch (tiny [K,3,C,C]
         # reshuffle in XLA): rows [w0^T; w1^T; w2^T] per layer.
         wd = jnp.swapaxes(wd, 2, 3).reshape(wd.shape[0], -1, c)
+    elif _MERGE_BWD == 2:
+        # N-merge: stack the three tap weights on the OUTPUT axis —
+        # e = dy @ [w0 | w1 | w2]^T is one [*, C] x [C, 3C] issue with dy
+        # read once (no operand duplication, unlike the K-merge above);
+        # dr is then three row-shifted lane-slices of e added in the same
+        # order as the three-dot chain (bit-identical f32 accumulation).
+        # Pure reshape, no transpose: rows [w0; w1; w2] per layer.
+        wd = wd.reshape(wd.shape[0], -1, c)
     vw_in, vw_spec = [], []
     if windowed:
         vw_in = [jnp.asarray(valid_window, jnp.int32)]
