@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="?", type=int, default=100,
     )
     parser.add_argument(
+        "--maxiter",
+        help="L-BFGS iteration budget per epoch (extension flag: the "
+             "reference hardcodes 100 at methods.py:137)",
+        nargs="?", type=int, default=100,
+    )
+    parser.add_argument(
         "--batch_size",
         help="length of output signal, must be divided by 4096",
         nargs="?", type=int, default=16384,
@@ -104,6 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "target's distance to the style gram falls "
                              "monotonically as this rises (measured "
                              "sensitivity in BENCH_NOTES.md round 4)")
+    parser.add_argument("--exact", action="store_true",
+                        help="exact long-form mode: ONE global window over "
+                             "the whole clip (no chunk seams, one global "
+                             "gram — semantics the reference's chunked "
+                             "averaging approximates, methods.py:97-111); "
+                             "single chip, scanned in scan_window tiles "
+                             "(transfer/longform.transfer_exact)")
+    parser.add_argument("--scan_window", nargs="?", type=int, default=32768,
+                        help="(exact) tile size of the single-chip window "
+                             "scan; compile cost and live memory scale "
+                             "with it, numerics do not")
     return parser
 
 
@@ -114,13 +131,16 @@ def get_dir(directory: str, args) -> str:
         k: v
         for k, v in vars(args).items()
         if k not in ("precision", "no_artifacts", "random_init", "fused",
-                     "warm_start", "longform", "ot_components", "ot_blend")
+                     "warm_start", "longform", "ot_components", "ot_blend",
+                     "exact", "scan_window", "maxiter")
     }
     if getattr(args, "longform", False):
         kwargs["longform"] = True
         if args.ot_components is not None:
             kwargs["n_components"] = args.ot_components
             kwargs["otblend"] = args.ot_blend
+    if getattr(args, "exact", False):
+        kwargs["exact"] = True
     # A warm-start run has different per-epoch eval accounting than the
     # reference-faithful cold-restart run of the same config — name its
     # artifact directory apart so the two don't overwrite each other's
@@ -163,6 +183,7 @@ def piece_work(args):
         gatys=bool(args.gatys),
         style_lyr_ids=tuple(args.style_lyrs) if args.style_lyrs else None,
         epochs=args.epochs,
+        maxiter=args.maxiter,
         lambd=args.lambd,
         gamma=args.gamma,
         compute_dtype=args.precision,
@@ -171,7 +192,44 @@ def piece_work(args):
         write_artifacts=not args.no_artifacts,
     )
     engine = StyleTransfer(spec, params)
+    if args.longform or args.exact:
+        return _run_longform(engine, args, content, style, savepath)
     return engine.run(content, content, style, epochs=args.epochs, start=args.start)
+
+
+def _run_longform(engine, args, content: str, style: str, savepath: str):
+    """Whole-clip drivers behind --longform / --exact: the content file is
+    transferred end to end (``--start`` windowing does not apply) and the
+    stitched waveform lands as longform.wav in the run dir."""
+    import time
+
+    import numpy as np
+
+    from audio_style_transfer_tpu.transfer.longform import (
+        transfer_exact,
+        transfer_longform,
+    )
+    from audio_style_transfer_tpu.utils import load_audio, write_wav
+
+    content_audio, _ = load_audio(content, sr=args.sr)
+    style_audio, _ = load_audio(style, sr=args.sr)
+    t0 = time.time()
+    if args.exact:
+        res = transfer_exact(engine, content_audio, style_audio, mesh=None,
+                             epochs=args.epochs, scan_window=args.scan_window)
+    else:
+        res = transfer_longform(engine, content_audio, style_audio,
+                                epochs=args.epochs,
+                                ot_components=args.ot_components,
+                                ot_blend=args.ot_blend)
+    evals = int(np.sum(res.per_window["evals"]))
+    print(f"optimized {len(res.audio) / args.sr:.1f}s of audio "
+          f"({evals} evals) in {time.time() - t0:.2f}s")
+    if not args.no_artifacts:
+        peak = float(np.max(np.abs(res.audio))) or 1.0
+        write_wav(os.path.join(savepath, "longform.wav"),
+                  res.audio / peak, sr=args.sr)
+    return res.audio
 
 
 def main(argv=None):

@@ -302,3 +302,195 @@ def make_sharded_loss(
         return sharded(params, x, phi_c, phi_s)
 
     return loss
+
+
+# --------------------------------------------------------------------- #
+# Single-device exact mode: scan over fixed halo-extended windows
+# --------------------------------------------------------------------- #
+
+
+def _window_radius(cfg: WaveNetAEConfig) -> int:
+    """Receptive-field radius rounded up to a 512 multiple (see
+    time_sharded_trunk's docstring for why the rounding is free)."""
+    return -(-receptive_field_radius(cfg) // 512) * 512
+
+
+def make_scan_exact_loss_fn(
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    t_total: int,
+    window: int = 32768,
+):
+    """Single-DEVICE exact long-form loss with bounded compile/memory.
+
+    Same semantics as :func:`make_sharded_loss_fn` — ONE global gram,
+    exact content features, SAME padding at the global clip edges
+    (exceeding the reference's chunked approximation,
+    methods.py:97-111) — but instead of sharding time over a mesh it
+    runs a ``lax.scan`` over fixed ``window``-sample tiles, each
+    extended by the receptive-field halo and masked with the trunk's
+    dynamic valid window.  The traced program contains ONE trunk at
+    ``window + 2*radius`` samples regardless of ``t_total``, so the
+    60-second clip that made the global-T program un-compilable on one
+    chip compiles in the same time as a single window.
+
+    Gram statistics are time sums and the content MSE is a mean over
+    T, so per-window partial sums reproduce the global loss exactly
+    (f32 accumulation order differs only across window boundaries).
+
+    Returns (params, x [1, t_total], phi_c [t_total, C*], phi_s) ->
+    scalar loss.  ``t_total`` must be a multiple of ``window`` (and
+    ``window`` a multiple of 512 so the STFT regularizer frames
+    partition cleanly).
+    """
+    if t_total % window or window % 512:
+        raise ValueError(
+            f"t_total {t_total} must tile into 512-aligned windows of "
+            f"{window}"
+        )
+    radius = _window_radius(cfg)
+    n_win = t_total // window
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+    frame_length, frame_step = 1024, 512
+    n_frames = 1 + (t_total - frame_length) // frame_step
+    m_win = window // frame_step
+
+    def _window_terms(params, x_ext, lo, hi, phi_c_win):
+        extracts = encoder_trunk(params, x_ext, cfg, valid_window=(lo, hi),
+                                 needed_taps=needed)
+        extracts = [
+            None if e is None else e[:, radius:-radius, :] for e in extracts
+        ]
+        c_local = jnp.concatenate(
+            [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
+            axis=2,
+        )[0]
+        content_sq = jnp.sum(
+            jnp.square(c_local.astype(jnp.float32) - phi_c_win)
+        )
+        gram_part = _local_grams(extracts, spec.style_layer_ids, spec.gatys)
+        return content_sq, gram_part
+
+    def loss(params, x, phi_c, phi_s):
+        xp = jnp.pad(x, ((0, 0), (radius, radius)))
+        phi_c = phi_c.astype(jnp.float32)
+        cdim = phi_c.shape[-1]
+
+        def body(carry, i):
+            csum, gsum, rsum = carry
+            start = i * window
+            x_ext = jax.lax.dynamic_slice(
+                xp, (0, start), (1, window + 2 * radius)
+            )
+            lo = jnp.where(i == 0, radius, 0)
+            hi = jnp.where(
+                i == n_win - 1, window + radius, window + 2 * radius
+            )
+            pc = jax.lax.dynamic_slice(phi_c, (start, 0), (window, cdim))
+            c2, gp = _window_terms(params, x_ext, lo, hi, pc)
+            if spec.gamma != 0.0:
+                # Global non-centered STFT: window i owns the frames
+                # starting inside it; one extra frame of right halo
+                # (real neighbour samples from xp) makes the boundary-
+                # straddling frames exact, frames past the global end
+                # are masked (same scheme as sharded_stft_l1).
+                a = inv_mu_law(
+                    jax.lax.dynamic_slice(
+                        xp, (0, radius + start),
+                        (1, window + frame_length - frame_step),
+                    )[0]
+                )
+                s = stft(a, frame_length, frame_step)
+                in_range = (i * m_win + jnp.arange(m_win)) < n_frames
+                vals = safe_abs(jnp.real(s)) + safe_abs(jnp.imag(s))
+                rsum = rsum + jnp.sum(
+                    vals * in_range[:, None].astype(vals.dtype)
+                )
+            return (csum + c2, gsum + gp, rsum), None
+
+        nl = len(spec.style_layer_ids)
+        c_w = cfg.ae_width
+        # _local_grams returns [C, L, L] ("ours") or [L, C, C] (gatys).
+        gshape = (nl, c_w, c_w) if spec.gatys else (c_w, nl, nl)
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros(gshape, jnp.float32),
+            jnp.zeros((), jnp.float32),
+        )
+        (csum, gsum, rsum), _ = jax.lax.scan(
+            body, init, jnp.arange(n_win)
+        )
+        content_loss = csum / (t_total * cdim) * 10.0
+        gram = l2_normalize(gsum, axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        style_loss = jnp.mean(jnp.square(gram - phi_s)) * 1e3
+        total = content_loss + spec.lambd * style_loss
+        if spec.gamma != 0.0:
+            nfft = frame_length // 2 + 1
+            total = total + spec.gamma * rsum / (n_frames * nfft)
+        return total
+
+    return loss
+
+
+def make_scan_exact_embeds_fn(
+    cfg: WaveNetAEConfig,
+    spec: LossSpec,
+    t_total: int,
+    window: int = 32768,
+):
+    """Target-building companion of :func:`make_scan_exact_loss_fn`:
+    (params, x [1, t_total]) -> (content embed [t_total, C*], gram) with
+    exact full-sequence semantics, one window-sized trace."""
+    if t_total % window or window % 512:
+        raise ValueError(
+            f"t_total {t_total} must tile into 512-aligned windows of "
+            f"{window}"
+        )
+    radius = _window_radius(cfg)
+    n_win = t_total // window
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+
+    def embeds(params, x):
+        xp = jnp.pad(x, ((0, 0), (radius, radius)))
+
+        def body(gsum, i):
+            start = i * window
+            x_ext = jax.lax.dynamic_slice(
+                xp, (0, start), (1, window + 2 * radius)
+            )
+            lo = jnp.where(i == 0, radius, 0)
+            hi = jnp.where(
+                i == n_win - 1, window + radius, window + 2 * radius
+            )
+            extracts = encoder_trunk(
+                params, x_ext, cfg, valid_window=(lo, hi), needed_taps=needed
+            )
+            extracts = [
+                None if e is None else e[:, radius:-radius, :]
+                for e in extracts
+            ]
+            c_local = jnp.concatenate(
+                [
+                    extracts[i][:, :, : spec.cnt_channels]
+                    for i in spec.cont_lyr_ids
+                ],
+                axis=2,
+            )[0]
+            gp = _local_grams(extracts, spec.style_layer_ids, spec.gatys)
+            return gsum + gp, c_local
+
+        nl = len(spec.style_layer_ids)
+        c_w = cfg.ae_width
+        gshape = (nl, c_w, c_w) if spec.gatys else (c_w, nl, nl)
+        gsum, c_wins = jax.lax.scan(
+            body, jnp.zeros(gshape, jnp.float32), jnp.arange(n_win)
+        )
+        c = c_wins.reshape(t_total, -1)
+        gram = l2_normalize(gsum, axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        return c, gram
+
+    return embeds

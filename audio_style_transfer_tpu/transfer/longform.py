@@ -313,6 +313,7 @@ def transfer_exact(
     mesh,
     epochs: int | None = None,
     max_style_examples: int = 5,
+    scan_window: int = 32768,
 ) -> LongformResult:
     """Exact long-form mode: ONE window spanning the whole clip,
     time-sharded over the mesh with halo exchange (parallel/halo.py).
@@ -325,24 +326,28 @@ def transfer_exact(
     per-epoch L-BFGS restarts and the ``< early_stop_evals`` stop follow
     the engine's spec; each epoch is one jitted sharded program.
 
+    With ``mesh=None`` the same global-window semantics run on a SINGLE
+    device as a ``lax.scan`` over ``scan_window``-sample halo-extended
+    tiles (parallel/halo.make_scan_exact_loss_fn): compile cost and live
+    memory scale with the window, not the clip, so the 60-second exact
+    program — whose global-T trace never compiled on one chip — builds
+    in window time.
+
     The clip is trimmed to a multiple of mesh_size * 512 samples (equal
     shards; shard length divisible by the STFT frame step so gamma != 0
-    stays exact).
+    stays exact), or of ``scan_window`` in single-device mode.
     """
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
     from audio_style_transfer_tpu.transfer.lbfgs import LBFGSOptions
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec = engine.spec
     epochs = epochs or spec.epochs
-    n_dev = int(mesh.devices.size)
-    axis = mesh.axis_names[0]
-    quantum = n_dev * 512
+    quantum = scan_window if mesh is None else int(mesh.devices.size) * 512
     t_total = (len(content_audio) // quantum) * quantum
     if t_total == 0:
         raise ValueError(
             f"content ({len(content_audio)} samples) shorter than one "
-            f"{quantum}-sample shard quantum of the {n_dev}-device mesh"
+            f"{quantum}-sample quantum"
         )
     content = content_audio[:t_total]
 
@@ -353,21 +358,32 @@ def transfer_exact(
     opts = LBFGSOptions(
         maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
     )
-    embeds_fn, epoch_fn = _exact_programs(mesh, axis, engine.cfg,
-                                          engine.loss_spec, opts)
+    if mesh is None:
+        embeds_fn, epoch_fn = _exact_scan_programs(
+            engine.cfg, engine.loss_spec, opts, t_total, scan_window
+        )
+        shard_x = None
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # Full-sequence content targets through ONE exact sharded encoder pass.
-    shard_x = NamedSharding(mesh, P(None, axis))
-    xq_c = jax.device_put(
-        jnp.asarray(mu_law_numpy(content[None]), jnp.float32), shard_x
-    )
+        axis = mesh.axis_names[0]
+        embeds_fn, epoch_fn = _exact_programs(mesh, axis, engine.cfg,
+                                              engine.loss_spec, opts)
+        shard_x = NamedSharding(mesh, P(None, axis))
+
+    # Full-sequence content targets through ONE exact encoder pass.
+    xq_c = jnp.asarray(mu_law_numpy(content[None]), jnp.float32)
+    if shard_x is not None:
+        xq_c = jax.device_put(xq_c, shard_x)
     phi_c, phi_full = embeds_fn(engine.params, xq_c)
     phi = l2_normalize(
         phi_full.astype(jnp.float32) + jnp.asarray(phi_t) - jnp.asarray(phi_s),
         axes=(1, 2),
     )
 
-    x = jax.device_put(jnp.full((1, t_total), 1e-6, jnp.float32), shard_x)
+    x = jnp.full((1, t_total), 1e-6, jnp.float32)
+    if shard_x is not None:
+        x = jax.device_put(x, shard_x)
     metrics, evals = [], []
     done = 0
     for _ in range(epochs):
@@ -412,6 +428,30 @@ def _exact_programs(mesh, axis: str, cfg, lspec, opts):
     def epoch_fn(params, x, phi_c, phi):
         vg = jax.value_and_grad(
             lambda xx: loss_sharded(params, xx, phi_c, phi)
+        )
+        return lbfgs_minimize(vg, x, opts)
+
+    return embeds_fn, epoch_fn
+
+
+@functools.lru_cache(maxsize=8)
+def _exact_scan_programs(cfg, lspec, opts, t_total: int, window: int):
+    """Single-device flavour of :func:`_exact_programs`: the loss runs
+    as a window scan (halo.make_scan_exact_loss_fn), so the traced
+    program is window-sized however long the clip is."""
+    from audio_style_transfer_tpu.parallel.halo import (
+        make_scan_exact_embeds_fn,
+        make_scan_exact_loss_fn,
+    )
+    from audio_style_transfer_tpu.transfer.lbfgs import lbfgs_minimize
+
+    embeds_fn = jax.jit(make_scan_exact_embeds_fn(cfg, lspec, t_total, window))
+    loss_scan = make_scan_exact_loss_fn(cfg, lspec, t_total, window)
+
+    @jax.jit
+    def epoch_fn(params, x, phi_c, phi):
+        vg = jax.value_and_grad(
+            lambda xx: loss_scan(params, xx, phi_c, phi)
         )
         return lbfgs_minimize(vg, x, opts)
 

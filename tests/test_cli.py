@@ -91,3 +91,54 @@ def test_generate_cli_discovery(tmp_path):
     assert postfix == ".wav" and len(files) == 1
     files, postfix = discover_files(str(tmp_path), npy_only=True)
     assert postfix == ".npy" and len(files) == 1
+
+
+@pytest.mark.slow
+def test_transfer_cli_longform_dispatch(wav_dir, tmp_path):
+    """--longform must actually run the chunked long-form driver (round 4
+    fixed a gap where the flag only renamed the artifact dir) and emit the
+    stitched longform.wav."""
+    from audio_style_transfer_tpu.cli.transfer import main
+
+    out = tmp_path / "out"
+    main([
+        "tone", "square",
+        "--dir", str(wav_dir),
+        "--outdir", str(out),
+        "--logdir", str(tmp_path / "log"),
+        "--epochs", "1",
+        "--batch_size", "4096",
+        "--stack", "0",
+        "--random_init",
+        "--maxiter", "3",
+        "--longform",
+    ])
+    wavs = list(out.rglob("longform.wav"))
+    assert len(wavs) == 1
+    from audio_style_transfer_tpu.utils import load_audio
+
+    audio, _ = load_audio(str(wavs[0]), sr=16000)
+    assert audio.shape[0] >= 4096 * 4 and np.all(np.isfinite(audio))
+
+
+@pytest.mark.slow
+def test_transfer_cli_exact_dispatch(wav_dir, tmp_path):
+    """--exact runs the single-device window-scan exact mode end to end."""
+    from audio_style_transfer_tpu.cli.transfer import main
+
+    out = tmp_path / "out"
+    main([
+        "tone", "square",
+        "--dir", str(wav_dir),
+        "--outdir", str(out),
+        "--logdir", str(tmp_path / "log"),
+        "--epochs", "1",
+        "--batch_size", "4096",
+        "--stack", "0",
+        "--random_init",
+        "--maxiter", "3",
+        "--exact",
+        "--scan_window", "8192",
+    ])
+    wavs = list(out.rglob("longform.wav"))
+    assert len(wavs) == 1

@@ -138,3 +138,69 @@ def test_sharded_stft_regularizer_exact():
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(ref_g), rtol=1e-5, atol=1e-8
     )
+
+
+def test_scan_exact_loss_and_gradient_match_single_device():
+    """make_scan_exact_loss_fn (the single-device exact mode: lax.scan
+    over fixed halo-extended windows) == the global transfer_loss, value
+    AND gradient, including the STFT regularizer — same bar as the
+    mesh-sharded flavour above."""
+    from audio_style_transfer_tpu.parallel.halo import (
+        make_scan_exact_embeds_fn,
+        make_scan_exact_loss_fn,
+    )
+    from audio_style_transfer_tpu.transfer.grams import (
+        content_embeds,
+        style_gram,
+    )
+
+    params, x = _setup(seed=1)
+    t = x.shape[1]
+    spec = LossSpec(
+        cont_lyr_ids=(5,),
+        style_layer_ids=(0, 1, 2, 3, 4, 5),
+        cnt_channels=8,
+        nb_channels=8,
+        lambd=10.0,
+        gamma=0.01,
+    )
+    _, x2 = _setup(seed=2)
+    ref_extracts, _ = encoder_extracts(params, x2, SMALL)
+    phi_c = content_embeds(ref_extracts, spec.cont_lyr_ids, spec.cnt_channels)
+    phi_s = style_gram(
+        ref_extracts, spec.style_layer_ids, gatys=spec.gatys,
+        nb_channels=spec.nb_channels,
+    )
+
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda x: transfer_loss(params, x, phi_c, phi_s, SMALL, spec)[0]
+    )(x)
+
+    loss_fn = make_scan_exact_loss_fn(SMALL, spec, t, window=512)
+    got, got_grad = jax.jit(jax.value_and_grad(
+        lambda xx: loss_fn(params, xx, phi_c, phi_s)
+    ))(x)
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=2e-4)
+    ref_grad = np.asarray(ref_grad)
+    got_grad = np.asarray(got_grad)
+    assert float(np.max(np.abs(ref_grad))) > 0
+    scale = np.max(np.abs(ref_grad))
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-5 * scale)
+
+    # The target-building companion: same taps, same statistics.
+    ref_c = content_embeds(
+        encoder_extracts(params, x, SMALL)[0],
+        spec.cont_lyr_ids, spec.cnt_channels,
+    )
+    embeds_fn = make_scan_exact_embeds_fn(SMALL, spec, t, window=512)
+    got_c, got_g = jax.jit(embeds_fn)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got_c), np.asarray(ref_c), rtol=1e-4, atol=1e-5
+    )
+    ref_g = style_gram(
+        encoder_extracts(params, x, SMALL)[0], spec.style_layer_ids,
+        gatys=spec.gatys, nb_channels=spec.nb_channels,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=2e-4, atol=1e-6
+    )

@@ -202,3 +202,25 @@ def test_transfer_longform_sharded_over_mesh(engine):
     np.testing.assert_allclose(
         res_sharded.audio, res_local.audio, rtol=2e-4, atol=1e-4
     )
+
+
+def test_transfer_exact_scan_matches_mesh(engine):
+    """transfer_exact(mesh=None) — the single-device window-scan flavour
+    whose compile cost is bounded by scan_window — must reproduce the
+    mesh flavour's trajectory (same 1% bound as the 8-vs-1-device
+    check above; the scan changes only f32 accumulation order across
+    window boundaries)."""
+    from audio_style_transfer_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    content = rng.uniform(-0.5, 0.5, 4096 * 4 + 300).astype(np.float32)
+    style = rng.uniform(-0.5, 0.5, 4096 * 2).astype(np.float32)
+    res_scan = transfer_exact(engine, content, style, mesh=None, epochs=1,
+                              scan_window=4096)
+    res_mesh = transfer_exact(engine, content, style, make_mesh(1), epochs=1)
+    assert res_scan.audio.shape == (4096 * 4,)
+    assert np.all(np.isfinite(res_scan.audio))
+    np.testing.assert_allclose(
+        res_scan.per_window["metrics"], res_mesh.per_window["metrics"],
+        rtol=1e-2,
+    )
