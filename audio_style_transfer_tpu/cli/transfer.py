@@ -117,10 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "averaging approximates, methods.py:97-111); "
                              "single chip, scanned in scan_window tiles "
                              "(transfer/longform.transfer_exact)")
-    parser.add_argument("--scan_window", nargs="?", type=int, default=32768,
+    parser.add_argument("--scan_window", nargs="?", type=int, default=None,
                         help="(exact) tile size of the single-chip window "
                              "scan; compile cost and live memory scale "
-                             "with it, numerics do not")
+                             "with it, numerics do not. Default: "
+                             "automatic — clips under ~2 minutes run as "
+                             "one unmasked trunk pass (fastest), longer "
+                             "clips scan in 32768-sample tiles")
     return parser
 
 

@@ -182,6 +182,7 @@ def _bwd_vmem(tile, nk, c, s, k):
 # Per-launch fixed cost in matmul-rows (one [row, C] x [C, C] MXU pass);
 # ~4 us of launch overhead at C=128.  Tuned on the round-3 measurements.
 _LAUNCH_ROWS = 24000
+_BOUNDARY_ROWS = 4
 _FWD_MM = 4
 _BWD_MM = 4
 # Per-(layer, tile-program) fixed cost in matmul-rows: each grid step
@@ -196,6 +197,23 @@ _MAX_TILE = int(os.environ.get("AST_CHAIN_MAX_TILE", 8192))
 # A/B hook: fixed group sizes (comma-separated, tiled cyclically over
 # the stack) instead of the DP's pick, e.g. AST_CHAIN_PARTITION=4,4,2.
 _PARTITION_OVERRIDE = os.environ.get("AST_CHAIN_PARTITION", "")
+# Relu-mask compares on bf16 values via a sign-bit int16 bitcast instead
+# of a bf16 -> f32 convert + f32 compare.  Semantically identical for
+# every non-NaN bf16 (+0 -> 0 -> false, -0 -> -32768 -> false, negatives
+# have the sign bit, positives are positive int16) — the bitcast is a
+# free reinterpret where the convert is a real VPU pass per layer.
+_MASK_BITCAST = os.environ.get("AST_CHAIN_MASK_BITCAST", "0") == "1"
+
+
+def _gt_zero_i32(v):
+    """(v > 0) as i32 for bf16/f32 ``v`` (see _MASK_BITCAST)."""
+    if _MASK_BITCAST and v.dtype == jnp.bfloat16:
+        return (
+            jax.lax.bitcast_convert_type(v, jnp.int16) > 0
+        ).astype(jnp.int32)
+    if v.dtype != jnp.float32:
+        v = v.astype(jnp.float32)
+    return (v > 0.0).astype(jnp.int32)
 
 
 def _group_cost(dils, clip_rows, c, itemsize, n_emit):
@@ -232,7 +250,20 @@ def _group_cost(dils, clip_rows, c, itemsize, n_emit):
             # Per-(layer, tile) fixed-issue term models the pipelined
             # forward's residual MXU-issue overhead.
             waste += len(dils) * _TILE_FIXED_ROWS
-            cost = (clip_rows // tile) * waste + 2 * _LAUNCH_ROWS
+            # Per-launch boundary HBM traffic: every group reads its
+            # input (+halo) and writes its output across ALL clip rows
+            # (~512 B/row bf16 both ways + masks), which at HBM speed
+            # costs about as much as 4 matmul-row passes.  Without this
+            # term the DP drifted to singleton groups at exact-mode clip
+            # lengths (clip_rows ~ 10^6): 30 launches re-walking the
+            # full dx/mask arrays measured ~1.55x the per-row backward
+            # cost of the engine partition (round-4 trace); with it the
+            # measured-best [4,3,2,1] is stable from 16384 to 950272.
+            cost = (
+                (clip_rows // tile) * waste
+                + 2 * _LAUNCH_ROWS
+                + _BOUNDARY_ROWS * clip_rows
+            )
             if best is None or cost < best[0]:
                 best = (cost, tile)
         tile //= 2
@@ -474,9 +505,9 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
         # The trunk input's relu mask (cms[0], bit 0 only) — packed here
         # so the XLA graph never re-reads the input just to compare it
         # (f32 compare: Mosaic has no native bf16 comparison here).
-        im_out[...] = (
-            jax.lax.slice_in_dim(cur, h, h + tile).astype(jnp.float32) > 0.0
-        ).astype(jnp.int32).astype(jnp.int8)
+        im_out[...] = _gt_zero_i32(
+            jax.lax.slice_in_dim(cur, h, h + tile)
+        ).astype(jnp.int8)
     a_prev = h
     bits = None
     for j in range(k):
@@ -524,10 +555,7 @@ def _fwd_group_kernel(plan: GroupPlan, cp: int, h: int, input_mask: bool,
         # DP emits.  Accumulated in i32 (no i8 vector ops on Mosaic) and
         # truncated once — the wrap to a negative int8 at bit 7 is fine,
         # the backward extracts single bits with shift+and.
-        xm_bit = (
-            jax.lax.slice_in_dim(out, a_j, a_j + tile).astype(jnp.float32)
-            > 0.0
-        ).astype(jnp.int32)
+        xm_bit = _gt_zero_i32(jax.lax.slice_in_dim(out, a_j, a_j + tile))
         ym_bit = (
             jax.lax.slice_in_dim(y, a_j, a_j + tile) > 0.0
         ).astype(jnp.int32)

@@ -210,12 +210,19 @@ def _vjp_fwd(*taps):
 # kernel already wins there (56 vs 82 us).  At L=30 the kernel wins both
 # directions (round-2/3 profiles).
 _XLA_BWD_MAX_L = 15
+# ... but only at engine-window lengths: at T=229376 (exact long-form
+# mode) XLA emits TEN separate cotangent fusions that each re-read every
+# tap — 806 us apiece, 5.6 GB/eval of tap traffic (round-4 device
+# trace) — where the kernel reads each tap once.  The tap re-read
+# traffic grows linearly with T while the fusion's small-T advantage
+# does not, so the composition is gated on T as well.
+_XLA_BWD_MAX_T = 32768
 
 
 def _vjp_bwd(taps, g):
     h = (g + jnp.swapaxes(g, 1, 2)).astype(jnp.float32)
     nl = len(taps)
-    if nl <= _XLA_BWD_MAX_L:
+    if nl <= _XLA_BWD_MAX_L and taps[0].shape[1] <= _XLA_BWD_MAX_T:
         fl = [t.astype(jnp.float32) for t in taps]
         outs = []
         for a in range(nl):

@@ -309,10 +309,106 @@ def make_sharded_loss(
 # --------------------------------------------------------------------- #
 
 
-def _window_radius(cfg: WaveNetAEConfig) -> int:
-    """Receptive-field radius rounded up to a 512 multiple (see
-    time_sharded_trunk's docstring for why the rounding is free)."""
-    return -(-receptive_field_radius(cfg) // 512) * 512
+def _window_radius(cfg: WaveNetAEConfig, align: int = 512) -> int:
+    """Receptive-field radius rounded up to a multiple of ``align`` (see
+    time_sharded_trunk's docstring for why the rounding is free).  The
+    scan path aligns to 2048 so the extended window keeps a 4096 power-
+    of-two factor — the chained-kernel planner's preferred tile; 512
+    alignment left the 15-s scan on 2048-row tiles (measured +25% kernel
+    time from the doubled per-tile fixed costs)."""
+    return -(-receptive_field_radius(cfg) // align) * align
+
+
+def _window_grams(extracts, spec: LossSpec):
+    """Unnormalized partial grams of one scan window.
+
+    Unlike the mesh path's :func:`_local_grams` (transposed batched
+    matmul — the winner at T/device ~ 10^5+), scan windows are
+    engine-sized (~32k samples) and sit right next to the Pallas trunk
+    custom-calls, where the [C, L, t] transpose forces XLA to
+    materialize tens of MB of layout copies per window (round-2
+    profile).  The channel-wise flavour therefore uses the Pallas
+    all-pairs kernel when the window admits it (each tap read from HBM
+    once), falling back to the native-layout pairwise-product form; the
+    measured effect is the 15-s exact eval dropping 47.9 -> ~22 ms
+    (round-4 BENCH_NOTES)."""
+    ids = spec.style_layer_ids
+    if spec.gatys:
+        return _local_grams(extracts, ids, True)
+    t = extracts[ids[0]].shape[1]
+    if spec.fused_gram and t % 128 == 0:
+        from audio_style_transfer_tpu.ops.pallas_gram import pair_gram
+
+        g = pair_gram(*[extracts[i] for i in ids])  # [1, L, L, C] f32
+        return jnp.transpose(g[0], (2, 0, 1))  # [C, L, L]
+    taps = [extracts[i][0] for i in ids]
+    n = len(taps)
+    pair = {}
+    for i in range(n):
+        for j in range(i, n):
+            p = taps[i].astype(jnp.float32) * taps[j].astype(jnp.float32)
+            pair[(i, j)] = jnp.sum(p, axis=0)  # [C]
+    rows = [
+        jnp.stack([pair[(min(i, j), max(i, j))] for j in range(n)], axis=0)
+        for i in range(n)
+    ]
+    return jnp.transpose(jnp.stack(rows, axis=0), (2, 0, 1))  # [C, L, L]
+
+
+def _single_window_exact_loss_fn(cfg: WaveNetAEConfig, spec: LossSpec,
+                                 t_total: int):
+    """Whole-clip exact loss as ONE unmasked trunk pass.
+
+    For a single window the unmasked trunk's SAME-padding clip semantics
+    ARE the global semantics — no halo, no padding, no valid-window
+    masking, no tap cropping (and so none of the crop/pad copy traffic
+    the windowed formulation pays: round 4 measured 3.6 ms/eval of pure
+    tap slicing+padding at T=229376).  This is the fastest exact flavour
+    whenever the taps fit HBM (~11 bf16 [T, 128] arrays + masks: a
+    60-second clip costs ~4 GB on a 16 GB v5e); transfer_exact picks it
+    automatically for clips under its memory threshold."""
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+
+    def loss(params, x, phi_c, phi_s):
+        extracts = encoder_trunk(params, x, cfg, needed_taps=needed)
+        c_local = jnp.concatenate(
+            [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
+            axis=2,
+        )[0]
+        content_loss = jnp.mean(
+            jnp.square(c_local.astype(jnp.float32) - phi_c.astype(jnp.float32))
+        ) * 10.0
+        gram = l2_normalize(_window_grams(extracts, spec), axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        style_loss = jnp.mean(jnp.square(gram - phi_s)) * 1e3
+        total = content_loss + spec.lambd * style_loss
+        if spec.gamma != 0.0:
+            from audio_style_transfer_tpu.signal.stft import stft_l1
+
+            total = total + spec.gamma * stft_l1(
+                inv_mu_law(x[0]), frame_length=1024, frame_step=512
+            )
+        return total
+
+    return loss
+
+
+def _single_window_exact_embeds_fn(cfg: WaveNetAEConfig, spec: LossSpec):
+    needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
+
+    def embeds(params, x):
+        extracts = encoder_trunk(params, x, cfg, needed_taps=needed)
+        c = jnp.concatenate(
+            [extracts[i][:, :, : spec.cnt_channels] for i in spec.cont_lyr_ids],
+            axis=2,
+        )[0]
+        gram = l2_normalize(_window_grams(extracts, spec), axes=(1, 2))
+        if spec.nb_channels < gram.shape[0] and not spec.gatys:
+            gram = gram[: spec.nb_channels]
+        return c, gram
+
+    return embeds
 
 
 def make_scan_exact_loss_fn(
@@ -343,20 +439,30 @@ def make_scan_exact_loss_fn(
     ``window`` a multiple of 512 so the STFT regularizer frames
     partition cleanly).
     """
+    if window >= t_total:
+        return _single_window_exact_loss_fn(cfg, spec, t_total)
     if t_total % window or window % 512:
         raise ValueError(
             f"t_total {t_total} must tile into 512-aligned windows of "
             f"{window}"
         )
-    radius = _window_radius(cfg)
+    radius = _window_radius(cfg, align=2048)
     n_win = t_total // window
     needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
     frame_length, frame_step = 1024, 512
     n_frames = 1 + (t_total - frame_length) // frame_step
     m_win = window // frame_step
+    # Edge/middle split: windows 1..n-2 lie entirely inside the clip when
+    # radius <= window, so their valid window is the WHOLE extended tile
+    # — they run the plain (unmasked) trunk, whose chained kernels skip
+    # the per-layer window multiply (measured ~1.4x cheaper per row).
+    # Only the two edge windows carry pad positions and run masked, with
+    # STATIC (lo, hi).  When radius > window several windows touch pad,
+    # so everything stays in the dynamically-masked scan.
+    split = radius <= window and n_win >= 2
 
-    def _window_terms(params, x_ext, lo, hi, phi_c_win):
-        extracts = encoder_trunk(params, x_ext, cfg, valid_window=(lo, hi),
+    def _window_terms(params, x_ext, vw, phi_c_win):
+        extracts = encoder_trunk(params, x_ext, cfg, valid_window=vw,
                                  needed_taps=needed)
         extracts = [
             None if e is None else e[:, radius:-radius, :] for e in extracts
@@ -368,45 +474,44 @@ def make_scan_exact_loss_fn(
         content_sq = jnp.sum(
             jnp.square(c_local.astype(jnp.float32) - phi_c_win)
         )
-        gram_part = _local_grams(extracts, spec.style_layer_ids, spec.gatys)
+        gram_part = _window_grams(extracts, spec)
         return content_sq, gram_part
+
+    def _window_reg(xp, start, i):
+        # Global non-centered STFT: window i owns the frames starting
+        # inside it; one extra frame of right halo (real neighbour
+        # samples from xp) makes the boundary-straddling frames exact,
+        # frames past the global end are masked (same scheme as
+        # sharded_stft_l1).
+        a = inv_mu_law(
+            jax.lax.dynamic_slice(
+                xp, (0, radius + start),
+                (1, window + frame_length - frame_step),
+            )[0]
+        )
+        s = stft(a, frame_length, frame_step)
+        in_range = (i * m_win + jnp.arange(m_win)) < n_frames
+        vals = safe_abs(jnp.real(s)) + safe_abs(jnp.imag(s))
+        return jnp.sum(vals * in_range[:, None].astype(vals.dtype))
 
     def loss(params, x, phi_c, phi_s):
         xp = jnp.pad(x, ((0, 0), (radius, radius)))
         phi_c = phi_c.astype(jnp.float32)
         cdim = phi_c.shape[-1]
 
-        def body(carry, i):
-            csum, gsum, rsum = carry
+        def one(params, i, vw):
             start = i * window
             x_ext = jax.lax.dynamic_slice(
                 xp, (0, start), (1, window + 2 * radius)
             )
-            lo = jnp.where(i == 0, radius, 0)
-            hi = jnp.where(
-                i == n_win - 1, window + radius, window + 2 * radius
-            )
             pc = jax.lax.dynamic_slice(phi_c, (start, 0), (window, cdim))
-            c2, gp = _window_terms(params, x_ext, lo, hi, pc)
-            if spec.gamma != 0.0:
-                # Global non-centered STFT: window i owns the frames
-                # starting inside it; one extra frame of right halo
-                # (real neighbour samples from xp) makes the boundary-
-                # straddling frames exact, frames past the global end
-                # are masked (same scheme as sharded_stft_l1).
-                a = inv_mu_law(
-                    jax.lax.dynamic_slice(
-                        xp, (0, radius + start),
-                        (1, window + frame_length - frame_step),
-                    )[0]
-                )
-                s = stft(a, frame_length, frame_step)
-                in_range = (i * m_win + jnp.arange(m_win)) < n_frames
-                vals = safe_abs(jnp.real(s)) + safe_abs(jnp.imag(s))
-                rsum = rsum + jnp.sum(
-                    vals * in_range[:, None].astype(vals.dtype)
-                )
-            return (csum + c2, gsum + gp, rsum), None
+            c2, gp = _window_terms(params, x_ext, vw, pc)
+            r = (
+                _window_reg(xp, start, i)
+                if spec.gamma != 0.0
+                else jnp.asarray(0.0, jnp.float32)
+            )
+            return c2, gp, r
 
         nl = len(spec.style_layer_ids)
         c_w = cfg.ae_width
@@ -417,9 +522,51 @@ def make_scan_exact_loss_fn(
             jnp.zeros(gshape, jnp.float32),
             jnp.zeros((), jnp.float32),
         )
-        (csum, gsum, rsum), _ = jax.lax.scan(
-            body, init, jnp.arange(n_win)
-        )
+        w_ext = window + 2 * radius
+
+        if split:
+            # Edge windows: static valid windows, masked trunk.
+            c2, gp, r = one(params, 0, (radius, w_ext))
+            csum, gsum, rsum = init[0] + c2, init[1] + gp, init[2] + r
+            c2, gp, r = one(params, n_win - 1, (0, window + radius))
+            csum, gsum, rsum = csum + c2, gsum + gp, rsum + r
+
+            if n_win > 2:
+                # Remat the window body: without it lax.scan stacks every
+                # window's trunk residuals (taps + packed masks, ~130 MB
+                # per full-geometry window) into [n_mid, rows, C] arrays
+                # whose dynamic-update-slice shuffling measured ~10
+                # ms/eval at 15 s — more than the recomputed forward
+                # costs — and whose footprint scales with the clip.
+                mid = jax.checkpoint(
+                    lambda p, i: one(p, i, None)  # fully valid window
+                )
+
+                def body(carry, i):
+                    cs, gs, rs = carry
+                    c2, gp, r = mid(params, i)
+                    return (cs + c2, gs + gp, rs + r), None
+
+                (csum, gsum, rsum), _ = jax.lax.scan(
+                    body, (csum, gsum, rsum), jnp.arange(1, n_win - 1)
+                )
+        else:
+            def body(carry, i):
+                cs, gs, rs = carry
+                # General valid window: ext position p is global sample
+                # i*window - radius + p, valid iff it lies in [0,
+                # t_total).  (radius > window means interior windows can
+                # straddle the clip edges too, so every window runs the
+                # masked trunk.)
+                lo = jnp.maximum(0, radius - i * window)
+                hi = jnp.minimum(w_ext, t_total - i * window + radius)
+                c2, gp, r = one(params, i, (lo, hi))
+                return (cs + c2, gs + gp, rs + r), None
+
+            (csum, gsum, rsum), _ = jax.lax.scan(
+                body, init, jnp.arange(n_win)
+            )
+
         content_loss = csum / (t_total * cdim) * 10.0
         gram = l2_normalize(gsum, axes=(1, 2))
         if spec.nb_channels < gram.shape[0] and not spec.gatys:
@@ -443,12 +590,14 @@ def make_scan_exact_embeds_fn(
     """Target-building companion of :func:`make_scan_exact_loss_fn`:
     (params, x [1, t_total]) -> (content embed [t_total, C*], gram) with
     exact full-sequence semantics, one window-sized trace."""
+    if window >= t_total:
+        return _single_window_exact_embeds_fn(cfg, spec)
     if t_total % window or window % 512:
         raise ValueError(
             f"t_total {t_total} must tile into 512-aligned windows of "
             f"{window}"
         )
-    radius = _window_radius(cfg)
+    radius = _window_radius(cfg, align=2048)
     n_win = t_total // window
     needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
 
@@ -460,9 +609,12 @@ def make_scan_exact_embeds_fn(
             x_ext = jax.lax.dynamic_slice(
                 xp, (0, start), (1, window + 2 * radius)
             )
-            lo = jnp.where(i == 0, radius, 0)
-            hi = jnp.where(
-                i == n_win - 1, window + radius, window + 2 * radius
+            # General valid window (see make_scan_exact_loss_fn): runs
+            # once per clip for target building, so the masked trunk is
+            # fine for every window here.
+            lo = jnp.maximum(0, radius - start)
+            hi = jnp.minimum(
+                window + 2 * radius, t_total - start + radius
             )
             extracts = encoder_trunk(
                 params, x_ext, cfg, valid_window=(lo, hi), needed_taps=needed
@@ -478,7 +630,7 @@ def make_scan_exact_embeds_fn(
                 ],
                 axis=2,
             )[0]
-            gp = _local_grams(extracts, spec.style_layer_ids, spec.gatys)
+            gp = _window_grams(extracts, spec)
             return gsum + gp, c_local
 
         nl = len(spec.style_layer_ids)

@@ -313,7 +313,7 @@ def transfer_exact(
     mesh,
     epochs: int | None = None,
     max_style_examples: int = 5,
-    scan_window: int = 32768,
+    scan_window: int | None = None,
 ) -> LongformResult:
     """Exact long-form mode: ONE window spanning the whole clip,
     time-sharded over the mesh with halo exchange (parallel/halo.py).
@@ -327,22 +327,36 @@ def transfer_exact(
     the engine's spec; each epoch is one jitted sharded program.
 
     With ``mesh=None`` the same global-window semantics run on a SINGLE
-    device as a ``lax.scan`` over ``scan_window``-sample halo-extended
-    tiles (parallel/halo.make_scan_exact_loss_fn): compile cost and live
-    memory scale with the window, not the clip, so the 60-second exact
-    program — whose global-T trace never compiled on one chip — builds
-    in window time.
+    device.  Clips whose trunk taps fit HBM (about two minutes of 16 kHz
+    audio on a 16 GB v5e) run as ONE unmasked trunk pass — the fastest
+    exact flavour, near-linear in T (halo._single_window_exact_loss_fn).
+    Longer clips run as a ``lax.scan`` over ``scan_window``-sample
+    halo-extended tiles: compile cost and live memory scale with the
+    window, not the clip (halo.make_scan_exact_loss_fn).  Pass
+    ``scan_window`` explicitly to force the scan flavour (or a different
+    tile size); ``None`` picks automatically.
 
     The clip is trimmed to a multiple of mesh_size * 512 samples (equal
     shards; shard length divisible by the STFT frame step so gamma != 0
-    stays exact), or of ``scan_window`` in single-device mode.
+    stays exact), of ``scan_window`` in scan mode, or of 4096 in
+    single-window mode.
     """
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
     from audio_style_transfer_tpu.transfer.lbfgs import LBFGSOptions
 
     spec = engine.spec
     epochs = epochs or spec.epochs
-    quantum = scan_window if mesh is None else int(mesh.devices.size) * 512
+    if mesh is None and scan_window is None:
+        # ~131 s of 16 kHz audio: the single-window taps+masks footprint
+        # approaches the chip's HBM beyond this; longer clips scan.
+        scan_window = (
+            len(content_audio) if len(content_audio) <= 2_097_152 else 32768
+        )
+    if mesh is None:
+        quantum = 4096 if scan_window >= len(content_audio) else scan_window
+        scan_window = max(scan_window, quantum)
+    else:
+        quantum = int(mesh.devices.size) * 512
     t_total = (len(content_audio) // quantum) * quantum
     if t_total == 0:
         raise ValueError(

@@ -204,3 +204,48 @@ def test_scan_exact_loss_and_gradient_match_single_device():
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(ref_g), rtol=2e-4, atol=1e-6
     )
+
+
+def test_scan_exact_split_path_matches_single_device():
+    """The edge/middle split (radius <= window: interior windows run the
+    UNMASKED trunk, only the two edge windows mask) must agree with the
+    global loss exactly like the dynamic-masked fallback above."""
+    from audio_style_transfer_tpu.parallel.halo import (
+        _window_radius,
+        make_scan_exact_loss_fn,
+    )
+
+    t = 8192
+    params, x = _setup(t=t, seed=4)
+    window = 2048
+    assert _window_radius(SMALL, align=2048) <= window  # split engages
+    spec = LossSpec(
+        cont_lyr_ids=(5,),
+        style_layer_ids=(0, 2, 4),
+        cnt_channels=8,
+        nb_channels=8,
+        lambd=10.0,
+        gamma=0.01,
+    )
+    _, x2 = _setup(t=t, seed=5)
+    ref_extracts, _ = encoder_extracts(params, x2, SMALL)
+    from audio_style_transfer_tpu.transfer.grams import content_embeds, style_gram
+
+    phi_c = content_embeds(ref_extracts, spec.cont_lyr_ids, spec.cnt_channels)
+    phi_s = style_gram(
+        ref_extracts, spec.style_layer_ids, gatys=spec.gatys,
+        nb_channels=spec.nb_channels,
+    )
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda x: transfer_loss(params, x, phi_c, phi_s, SMALL, spec)[0]
+    )(x)
+    loss_fn = make_scan_exact_loss_fn(SMALL, spec, t, window=window)
+    got, got_grad = jax.jit(jax.value_and_grad(
+        lambda xx: loss_fn(params, xx, phi_c, phi_s)
+    ))(x)
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=2e-4)
+    scale = np.max(np.abs(np.asarray(ref_grad)))
+    np.testing.assert_allclose(
+        np.asarray(got_grad), np.asarray(ref_grad), rtol=1e-4,
+        atol=1e-5 * scale,
+    )

@@ -224,3 +224,22 @@ def test_transfer_exact_scan_matches_mesh(engine):
         res_scan.per_window["metrics"], res_mesh.per_window["metrics"],
         rtol=1e-2,
     )
+
+
+def test_transfer_exact_single_window_matches_mesh(engine):
+    """scan_window=None on a short clip picks the single-window flavour
+    (one unmasked trunk pass — the global semantics ARE the clip
+    semantics); trajectory must match the mesh flavour like the scan
+    flavour above."""
+    from audio_style_transfer_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    content = rng.uniform(-0.5, 0.5, 4096 * 4 + 300).astype(np.float32)
+    style = rng.uniform(-0.5, 0.5, 4096 * 2).astype(np.float32)
+    res_one = transfer_exact(engine, content, style, mesh=None, epochs=1)
+    res_mesh = transfer_exact(engine, content, style, make_mesh(1), epochs=1)
+    assert res_one.audio.shape == (4096 * 4,)
+    np.testing.assert_allclose(
+        res_one.per_window["metrics"], res_mesh.per_window["metrics"],
+        rtol=1e-2,
+    )
