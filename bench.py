@@ -287,6 +287,34 @@ def run_longform(params, args):
 
     eng_ref = StyleTransfer(_dc.replace(spec, early_stop_evals=50), params)
     out["reference_accounting"] = timed_run(eng_ref)
+
+    # EXACT flavour: ONE global window over the whole clip (the joint
+    # objective the reference's chunk averaging approximates,
+    # methods.py:97-111), single-window trunk pass (parallel/halo.py).
+    # Cold call = embeds + epoch compile + 1 epoch; warm = min-of-2
+    # (runs are ~45 s each — min-of-3 would cost more than it guards).
+    from audio_style_transfer_tpu.transfer.longform import transfer_exact
+
+    t0 = time.time()
+    transfer_exact(engine, content, style, mesh=None, epochs=1)
+    cold = time.time() - t0
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        res = transfer_exact(engine, content, style, mesh=None,
+                             epochs=spec.epochs)
+        walls.append(time.time() - t0)
+    dt = min(walls)
+    evals = int(np.sum(res.per_window["evals"]))
+    out["exact"] = {
+        "t_total": int(res.audio.shape[0]),
+        "cold_s_inc_compile_1ep": round(cold, 1),
+        "wallclock_s": round(dt, 1),
+        "wallclock_runs_s": [round(w, 1) for w in walls],
+        "epochs": int(res.per_window["epochs_done"]),
+        "evals": evals,
+        "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
+    }
     return out
 
 
