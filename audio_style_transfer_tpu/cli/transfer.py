@@ -99,17 +99,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "crossfaded stitching (transfer/longform.py); "
                              "--start is ignored")
     parser.add_argument("--ot_components", nargs="?", type=int, default=None,
-                        help="(longform) NMF components for the OT "
+                        help="(longform/exact) NMF components for the OT "
                              "palette-translated style target (the "
                              "reference's utils.transform pipeline wired "
                              "into the loss); None disables the transform")
     parser.add_argument("--ot_blend", nargs="?", type=float, default=0.5,
-                        help="(longform) weight of the OT translated-gram "
-                             "delta on the style target: 0 = reference "
-                             "target untouched, 1 = full correction; the "
-                             "target's distance to the style gram falls "
-                             "monotonically as this rises (measured "
-                             "sensitivity in BENCH_NOTES.md round 4)")
+                        help="(longform/exact) weight of the OT "
+                             "translated-gram delta on the style target: "
+                             "0 = reference target untouched, 1 = full "
+                             "correction (measured sensitivity curve in "
+                             "BENCH_NOTES.md round 5: interior minimum "
+                             "around 0.5-0.75)")
     parser.add_argument("--exact", action="store_true",
                         help="exact long-form mode: ONE global window over "
                              "the whole clip (no chunk seams, one global "
@@ -137,13 +137,19 @@ def get_dir(directory: str, args) -> str:
                      "warm_start", "longform", "ot_components", "ot_blend",
                      "exact", "scan_window", "maxiter")
     }
-    if getattr(args, "longform", False):
-        kwargs["longform"] = True
+    if getattr(args, "longform", False) or getattr(args, "exact", False):
+        if getattr(args, "longform", False):
+            kwargs["longform"] = True
+        if getattr(args, "exact", False):
+            kwargs["exact"] = True
         if args.ot_components is not None:
             kwargs["n_components"] = args.ot_components
             kwargs["otblend"] = args.ot_blend
-    if getattr(args, "exact", False):
-        kwargs["exact"] = True
+    # maxiter changes the optimization trajectory; keep non-default runs in
+    # distinct artifact dirs (the reference hardcodes 100 at methods.py:137,
+    # so the default keeps the reference-identical path).
+    if getattr(args, "maxiter", 100) != 100:
+        kwargs["maxiter"] = args.maxiter
     # A warm-start run has different per-epoch eval accounting than the
     # reference-faithful cold-restart run of the same config — name its
     # artifact directory apart so the two don't overwrite each other's
@@ -214,12 +220,16 @@ def _run_longform(engine, args, content: str, style: str, savepath: str):
     )
     from audio_style_transfer_tpu.utils import load_audio, write_wav
 
-    content_audio, _ = load_audio(content, sr=args.sr)
-    style_audio, _ = load_audio(style, sr=args.sr)
+    # audio_channel=0 matches engine.run and the reference (utils.py:260-264):
+    # stereo files must collapse to 1-D here or the chunkers see [channels, T].
+    content_audio, _ = load_audio(content, sr=args.sr, audio_channel=0)
+    style_audio, _ = load_audio(style, sr=args.sr, audio_channel=0)
     t0 = time.time()
     if args.exact:
         res = transfer_exact(engine, content_audio, style_audio, mesh=None,
-                             epochs=args.epochs, scan_window=args.scan_window)
+                             epochs=args.epochs, scan_window=args.scan_window,
+                             ot_components=args.ot_components,
+                             ot_blend=args.ot_blend)
     else:
         res = transfer_longform(engine, content_audio, style_audio,
                                 epochs=args.epochs,

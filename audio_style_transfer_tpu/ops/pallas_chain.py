@@ -87,7 +87,10 @@ _MERGE_FWD = os.environ.get("AST_CHAIN_MERGE_FWD", "1") == "1"
 # 4's N-merge measurement); 1 = K-merge (operand concat — measured SLOWER,
 # see above); 2 = N-merge (weights stacked on the output axis, dy read
 # once, dr = shifted lane-slices of one [*, 3C] product).
-_MERGE_BWD = int(os.environ.get("AST_CHAIN_MERGE_BWD", "0"))
+try:
+    _MERGE_BWD = int(os.environ.get("AST_CHAIN_MERGE_BWD") or 0)
+except ValueError:  # tolerate legacy values like "false"
+    _MERGE_BWD = 0
 # Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
 # dilated-conv accumulator + relu'd operand + residual in flight), used
 # by the tile picker; env-overridable for tuning experiments.
@@ -317,7 +320,14 @@ def plan_groups(dils: tuple, clip_rows: int, c: int, itemsize: int,
         g = dils[i : i + k]
         suffix, halo = _suffix_halos(g)
         prefix = _prefix_halos(g)
-        _, tile = _group_cost(g, clip_rows, c, itemsize, n_emit(i, i + k))
+        cand = _group_cost(g, clip_rows, c, itemsize, n_emit(i, i + k))
+        if cand is None:
+            raise ValueError(
+                f"AST_CHAIN_PARTITION group {len(plans)} (layers {i}..{i + k - 1},"
+                f" dilations {g}) is infeasible at clip_rows={clip_rows}:"
+                " no tile satisfies the halo/VMEM constraints"
+            )
+        _, tile = cand
         emits = tuple(sorted({j - i for j in emit if i <= j < i + k} | {k - 1}))
         plans.append(GroupPlan(i, g, tile, halo, suffix, prefix, emits))
         i += k
