@@ -3,8 +3,16 @@
 CQT magnitude rendered as an alpha mask over the phase-derivative rainbow —
 same constants (n_fft 512, hop 256, 40 bins/octave, 240 bins, filter_scale
 0.8, fmin C2, peak 80 dB) and the same alpha-only colormap
-(reference rainbowgram.py:21-35).  The CQT itself is the on-device matmul
-kernel from signal/cqt.py instead of librosa's host multirate transform.
+(reference rainbowgram.py:21-35).
+
+The CQT backend is selectable: the DEFAULT for plotting is the float64
+multirate transform (signal/cqt_multirate.py — the recursive-downsampling
+algorithm librosa runs, which is exactly where the reference computes its
+CQT: on the host, reference rainbowgram.py:49).  ``backend="device"``
+uses the on-device matmul kernel from signal/cqt.py instead (the direct
+CQT definition; deviation from the multirate algorithm measured and
+bounded in tests/test_cqt_fidelity.py — use it when the audio already
+lives on the TPU).
 """
 
 from __future__ import annotations
@@ -45,9 +53,13 @@ def rainbowgram(
     octaves: int = OCTAVES,
     notes_per_octave: int = NOTES_PER_OCTAVE,
     cqt_override=None,
+    backend: str = "multirate",
 ):
     """(mag, dphase) arrays for plotting (reference rainbowgram.py:37-62).
 
+    ``backend``: "multirate" (default — the host float64 recursive-
+    downsampling algorithm, the transform family the reference renders
+    from) or "device" (the on-device matmul CQT).
     ``cqt_override``: optional precomputed complex CQT [n_bins, n_frames];
     used by the fidelity tests to render the same image from an oracle
     transform.
@@ -62,7 +74,21 @@ def rainbowgram(
 
     if cqt_override is not None:
         c = jnp.asarray(np.asarray(cqt_override, np.complex64))
-    else:
+    elif backend == "multirate":
+        from audio_style_transfer_tpu.signal.cqt_multirate import multirate_cqt
+
+        c = jnp.asarray(
+            multirate_cqt(
+                np.asarray(audio, np.float64),
+                sr=sr,
+                hop_length=hop_length,
+                bins_per_octave=int(notes_per_octave * over_sample),
+                n_bins=int(octaves * notes_per_octave * over_sample),
+                filter_scale=res_factor,
+                fmin=C2_HZ,
+            ).astype(np.complex64)
+        )
+    elif backend == "device":
         c = cqt(
             jnp.asarray(np.asarray(audio, np.float32)),
             sr=sr,
@@ -72,6 +98,8 @@ def rainbowgram(
             filter_scale=res_factor,
             fmin=C2_HZ,
         )
+    else:
+        raise ValueError(f"unknown rainbowgram backend {backend!r}")
     mag = jnp.abs(c)
     phase_angle = jnp.angle(c)
 

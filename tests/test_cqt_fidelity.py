@@ -1,21 +1,30 @@
-"""Quantified fidelity of the direct (matmul) CQT vs the multirate algorithm.
+"""CQT fidelity: the host multirate path is exact, the device kernel bounded.
 
-The reference rainbowgram calls ``librosa.cqt`` (reference
+The reference rainbowgram calls ``librosa.cqt`` on the host (reference
 rainbowgram.py:49-53), which evaluates the constant-Q transform by
 *recursive octave down-sampling*: build kernels for the top octave only,
 correlate, halve the sample rate, repeat (Schörkhuber & Klapuri 2010 — the
-algorithm librosa implements). Our ``signal/cqt.py`` instead evaluates the
-direct definition as one MXU matmul. librosa itself is not installed in
-this image, so the oracle below re-implements the multirate algorithm in
-float64 numpy with a high-quality polyphase decimator
-(scipy.signal.resample_poly, Kaiser window) — the same structure as
-librosa's, with an anti-alias filter at least as good as its default.
+algorithm librosa implements). librosa itself is not installed in this
+image, so the oracle below implements that algorithm independently in
+float64 numpy with direct per-frame dot products and a high-quality
+polyphase decimator (scipy.signal.resample_poly, Kaiser window) — the same
+structure as librosa's, with an anti-alias filter at least as good as its
+default.
 
-Measured deviations (interior frames, audible bins) are asserted below and
-recorded in PARITY.md: the two transforms agree to ~1% relative magnitude
-on tonal and noise signals, and the rendered rainbowgram magnitude images
-(power_to_db, top_db=80, normalized to [0,1]) agree to <0.01 mean /
-<0.1 max absolute — comfortably "plotting accuracy".
+Two production paths are checked against it:
+
+1. ``signal/cqt_multirate.py`` — the HOST plot path (rainbowgram's default
+   backend), a vectorized (FFT-convolution) implementation of the same
+   multirate algorithm: asserted to float tolerance against the oracle
+   (the two differ only in fp summation order), and the rendered
+   rainbowgram arrays to ~1e-5.  This closes SURVEY §7 hard-part #3
+   ("bit-faithful plots") for the CQT.
+2. ``signal/cqt.py`` — the on-DEVICE matmul kernel (the direct CQT
+   definition): a measured-bounded approximation.  Interior frames agree
+   to ~1% relative magnitude on tonal and noise signals, and rendered
+   magnitude images (power_to_db, top_db=80, normalized to [0,1]) to
+   <0.01 mean / <0.1 max absolute — "plotting accuracy", recorded in
+   PARITY.md.
 """
 
 import numpy as np
@@ -108,6 +117,39 @@ def pairs():
 
 
 @pytest.mark.slow
+def test_host_multirate_cqt_matches_oracle(pairs):
+    """The package's vectorized multirate CQT (signal/cqt_multirate.py) is
+    the SAME algorithm as the direct-dot oracle — same kernels, same
+    sqrt(2**d) octave scaling, same resample_poly decimator — computed via
+    FFT convolution, so the two must agree to float64 summation-order
+    noise."""
+    from audio_style_transfer_tpu.signal.cqt_multirate import multirate_cqt as mr
+
+    for name, (_, oracle, a) in pairs.items():
+        ours = mr(a)
+        assert ours.shape == oracle.shape
+        scale = max(np.abs(oracle).max(), 1e-12)
+        dev = np.abs(ours - oracle) / scale
+        assert dev.max() < 1e-9, (name, dev.max())
+
+
+@pytest.mark.slow
+def test_rainbowgram_default_backend_is_multirate(pairs):
+    """Host rainbowgram renderings (the default backend — what plotcqt and
+    every artifact dump use) must match the multirate-oracle rendering to
+    float tolerance: the host plot path now runs the reference's own
+    algorithm (VERDICT r4 next-round #2; reference rainbowgram.py:49)."""
+    for name, (_, oracle, a) in pairs.items():
+        mag_h, p_h = rainbowgram(a.astype(np.float32))  # default: multirate
+        mag_r, p_r = rainbowgram(a.astype(np.float32), cqt_override=oracle)
+        assert np.abs(mag_h - mag_r).max() < 1e-5, name
+        # The phase derivative is angle-based: where magnitude vanishes the
+        # angle is numerically free, so compare only at visible pixels.
+        vis = np.asarray(mag_r) > 0.5
+        assert np.abs((p_h - p_r)[vis]).max() < 1e-3, name
+
+
+@pytest.mark.slow
 def test_magnitude_matches_multirate_oracle(pairs):
     """Relative magnitude deviation on interior frames, energy-weighted.
 
@@ -134,7 +176,7 @@ def test_rainbowgram_images_match_multirate_oracle(pairs):
     visible pixels; tolerances are banded by brightness (measured maxima:
     0.09 @ >0.5, 0.007 @ >0.9; means ~0.01)."""
     for name, (_, oracle, a) in pairs.items():
-        mag_o, p_o = rainbowgram(a.astype(np.float32))
+        mag_o, p_o = rainbowgram(a.astype(np.float32), backend="device")
         mag_r, p_r = rainbowgram(a.astype(np.float32), cqt_override=oracle)
         dmag = np.abs(np.asarray(mag_o) - np.asarray(mag_r))
         mag_r = np.asarray(mag_r)
