@@ -416,6 +416,7 @@ def make_scan_exact_loss_fn(
     spec: LossSpec,
     t_total: int,
     window: int = 32768,
+    t_valid: int | None = None,
 ):
     """Single-DEVICE exact long-form loss with bounded compile/memory.
 
@@ -438,8 +439,24 @@ def make_scan_exact_loss_fn(
     scalar loss.  ``t_total`` must be a multiple of ``window`` (and
     ``window`` a multiple of 512 so the STFT regularizer frames
     partition cleanly).
+
+    ``t_valid`` (default ``t_total``): the true clip length.  When the
+    clip does not tile into windows, the caller zero-pads it to
+    ``t_total`` and passes the unpadded length here; positions in
+    [t_valid, t_total) are zeroed before the trunk (exactly the SAME
+    padding a ``t_valid``-length clip would see), masked out of every
+    tap, excluded from the content mean and the STFT frame count — so
+    the loss (and gradient) equal the unpadded computation, instead of
+    silently trimming up to ``window - 1`` trailing samples.
     """
+    t_valid = t_total if t_valid is None else t_valid
+    if not (0 < t_valid <= t_total):
+        raise ValueError(f"t_valid {t_valid} outside (0, {t_total}]")
     if window >= t_total:
+        if t_valid != t_total:
+            raise ValueError(
+                "single-window mode has no pad masking: trim to t_total"
+            )
         return _single_window_exact_loss_fn(cfg, spec, t_total)
     if t_total % window or window % 512:
         raise ValueError(
@@ -450,16 +467,19 @@ def make_scan_exact_loss_fn(
     n_win = t_total // window
     needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
     frame_length, frame_step = 1024, 512
-    n_frames = 1 + (t_total - frame_length) // frame_step
+    n_frames = 1 + (t_valid - frame_length) // frame_step
     m_win = window // frame_step
-    # Edge/middle split: windows 1..n-2 lie entirely inside the clip when
-    # radius <= window, so their valid window is the WHOLE extended tile
-    # — they run the plain (unmasked) trunk, whose chained kernels skip
-    # the per-layer window multiply (measured ~1.4x cheaper per row).
-    # Only the two edge windows carry pad positions and run masked, with
-    # STATIC (lo, hi).  When radius > window several windows touch pad,
-    # so everything stays in the dynamically-masked scan.
-    split = radius <= window and n_win >= 2
+    # Edge/middle split: a window is FULLY valid iff its halo-extended
+    # tile lies inside [0, t_valid) — those run the plain (unmasked)
+    # trunk, whose chained kernels skip the per-layer window multiply
+    # (measured ~1.4x cheaper per row).  The handful of edge windows
+    # (window 0, plus the tail that touches clip padding) run masked
+    # with STATIC (lo, hi), unrolled.  mid_lo..mid_hi is the contiguous
+    # fully-valid range; when it is empty (radius > window, or a tiny
+    # clip) everything stays in the dynamically-masked scan.
+    mid_lo = -(-radius // window)  # first i with i*window >= radius
+    mid_hi = (t_valid - radius) // window - 1  # last fully-valid i
+    split = mid_lo <= mid_hi and n_win >= 2
 
     def _window_terms(params, x_ext, vw, phi_c_win):
         extracts = encoder_trunk(params, x_ext, cfg, valid_window=vw,
@@ -495,6 +515,12 @@ def make_scan_exact_loss_fn(
         return jnp.sum(vals * in_range[:, None].astype(vals.dtype))
 
     def loss(params, x, phi_c, phi_s):
+        if t_valid < t_total:
+            # Zero the trainable pad tail BEFORE the trunk: the startconv
+            # reads raw x, so valid positions near t_valid must see the
+            # zeros a t_valid-length clip's SAME padding provides (and the
+            # multiply makes the pad tail's gradient exactly zero).
+            x = x * (jnp.arange(t_total) < t_valid).astype(x.dtype)[None]
         xp = jnp.pad(x, ((0, 0), (radius, radius)))
         phi_c = phi_c.astype(jnp.float32)
         cdim = phi_c.shape[-1]
@@ -524,42 +550,46 @@ def make_scan_exact_loss_fn(
         )
         w_ext = window + 2 * radius
 
+        def static_vw(i):
+            # Ext position p of window i is global sample i*window -
+            # radius + p, valid iff it lies in [0, t_valid).
+            return (max(0, radius - i * window),
+                    min(w_ext, t_valid - i * window + radius))
+
         if split:
-            # Edge windows: static valid windows, masked trunk.
-            c2, gp, r = one(params, 0, (radius, w_ext))
-            csum, gsum, rsum = init[0] + c2, init[1] + gp, init[2] + r
-            c2, gp, r = one(params, n_win - 1, (0, window + radius))
-            csum, gsum, rsum = csum + c2, gsum + gp, rsum + r
+            # Edge windows (window 0 + the tail touching clip padding):
+            # static valid windows, masked trunk, unrolled.
+            csum, gsum, rsum = init
+            for i in [*range(mid_lo), *range(mid_hi + 1, n_win)]:
+                c2, gp, r = one(params, i, static_vw(i))
+                csum, gsum, rsum = csum + c2, gsum + gp, rsum + r
 
-            if n_win > 2:
-                # Remat the window body: without it lax.scan stacks every
-                # window's trunk residuals (taps + packed masks, ~130 MB
-                # per full-geometry window) into [n_mid, rows, C] arrays
-                # whose dynamic-update-slice shuffling measured ~10
-                # ms/eval at 15 s — more than the recomputed forward
-                # costs — and whose footprint scales with the clip.
-                mid = jax.checkpoint(
-                    lambda p, i: one(p, i, None)  # fully valid window
-                )
+            # Remat the window body: without it lax.scan stacks every
+            # window's trunk residuals (taps + packed masks, ~130 MB
+            # per full-geometry window) into [n_mid, rows, C] arrays
+            # whose dynamic-update-slice shuffling measured ~10
+            # ms/eval at 15 s — more than the recomputed forward
+            # costs — and whose footprint scales with the clip.
+            mid = jax.checkpoint(
+                lambda p, i: one(p, i, None)  # fully valid window
+            )
 
-                def body(carry, i):
-                    cs, gs, rs = carry
-                    c2, gp, r = mid(params, i)
-                    return (cs + c2, gs + gp, rs + r), None
+            def body(carry, i):
+                cs, gs, rs = carry
+                c2, gp, r = mid(params, i)
+                return (cs + c2, gs + gp, rs + r), None
 
-                (csum, gsum, rsum), _ = jax.lax.scan(
-                    body, (csum, gsum, rsum), jnp.arange(1, n_win - 1)
-                )
+            (csum, gsum, rsum), _ = jax.lax.scan(
+                body, (csum, gsum, rsum), jnp.arange(mid_lo, mid_hi + 1)
+            )
         else:
             def body(carry, i):
                 cs, gs, rs = carry
-                # General valid window: ext position p is global sample
-                # i*window - radius + p, valid iff it lies in [0,
-                # t_total).  (radius > window means interior windows can
-                # straddle the clip edges too, so every window runs the
-                # masked trunk.)
+                # General dynamic valid window (radius > window means
+                # interior windows can straddle the clip edges too, so
+                # every window runs the masked trunk).
                 lo = jnp.maximum(0, radius - i * window)
-                hi = jnp.minimum(w_ext, t_total - i * window + radius)
+                hi = jnp.minimum(w_ext, t_valid - i * window + radius)
                 c2, gp, r = one(params, i, (lo, hi))
                 return (cs + c2, gs + gp, rs + r), None
 
@@ -567,7 +597,7 @@ def make_scan_exact_loss_fn(
                 body, init, jnp.arange(n_win)
             )
 
-        content_loss = csum / (t_total * cdim) * 10.0
+        content_loss = csum / (t_valid * cdim) * 10.0
         gram = l2_normalize(gsum, axes=(1, 2))
         if spec.nb_channels < gram.shape[0] and not spec.gatys:
             gram = gram[: spec.nb_channels]
@@ -586,11 +616,19 @@ def make_scan_exact_embeds_fn(
     spec: LossSpec,
     t_total: int,
     window: int = 32768,
+    t_valid: int | None = None,
 ):
     """Target-building companion of :func:`make_scan_exact_loss_fn`:
     (params, x [1, t_total]) -> (content embed [t_total, C*], gram) with
-    exact full-sequence semantics, one window-sized trace."""
+    exact full-sequence semantics, one window-sized trace.  ``t_valid``
+    as in the loss fn: positions past it are treated as clip padding
+    (the returned content embed is zero there)."""
+    t_valid = t_total if t_valid is None else t_valid
     if window >= t_total:
+        if t_valid != t_total:
+            raise ValueError(
+                "single-window mode has no pad masking: trim to t_total"
+            )
         return _single_window_exact_embeds_fn(cfg, spec)
     if t_total % window or window % 512:
         raise ValueError(
@@ -602,6 +640,8 @@ def make_scan_exact_embeds_fn(
     needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
 
     def embeds(params, x):
+        if t_valid < t_total:
+            x = x * (jnp.arange(t_total) < t_valid).astype(x.dtype)[None]
         xp = jnp.pad(x, ((0, 0), (radius, radius)))
 
         def body(gsum, i):
@@ -614,7 +654,7 @@ def make_scan_exact_embeds_fn(
             # fine for every window here.
             lo = jnp.maximum(0, radius - start)
             hi = jnp.minimum(
-                window + 2 * radius, t_total - start + radius
+                window + 2 * radius, t_valid - start + radius
             )
             extracts = encoder_trunk(
                 params, x_ext, cfg, valid_window=(lo, hi), needed_taps=needed

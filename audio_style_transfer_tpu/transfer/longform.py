@@ -290,14 +290,15 @@ def _ot_transform_gram(engine, style_audio, content_audio, phi_t,
 
     ``blend`` scales the delta: 0 reproduces the reference target
     exactly, 1 applies the full translated-gram correction.  Measured at
-    full geometry (tests/test_longform.py blend sweep + BENCH_NOTES
-    round 4): the target's distance to the style gram decreases
-    monotonically as blend rises; 0.5 (the default) takes ~half the
-    measured movement — a style-lean that keeps the reference target
-    dominant.  The reference never wired OT into a loss
+    full geometry (sweep asserted in tests/test_longform.py, recorded in
+    BENCH_NOTES.md "OT blend sweep"): the target's distance to the style
+    gram has an INTERIOR minimum — the l2 re-normalization overshoots at
+    full weight (d(0)=8.446 ... d(0.75)=8.241, d(1.0)=8.281) — so the
+    0.5 default sits in the shallow basin while keeping the reference
+    target dominant.  The reference never wired OT into a loss
     (utils.py:132-145 builds the transform but stops at features), so
     there is no parity constraint — the knob is exposed on
-    transfer_longform and the CLI."""
+    transfer_longform, transfer_exact, and the CLI."""
     g_ot, g_c, _ = ot_translated_gram(
         engine, style_audio, content_audio, n_components
     )
@@ -314,6 +315,8 @@ def transfer_exact(
     epochs: int | None = None,
     max_style_examples: int = 5,
     scan_window: int | None = None,
+    ot_components: int | None = None,
+    ot_blend: float = 0.5,
 ) -> LongformResult:
     """Exact long-form mode: ONE window spanning the whole clip,
     time-sharded over the mesh with halo exchange (parallel/halo.py).
@@ -336,10 +339,20 @@ def transfer_exact(
     ``scan_window`` explicitly to force the scan flavour (or a different
     tile size); ``None`` picks automatically.
 
+    ``ot_components`` / ``ot_blend``: as in :func:`transfer_longform` —
+    the style statistic is first mapped through the NMF + optimal-
+    transport palette transform (the "OT loss" of BASELINE.json config
+    5), composing with the exact objective: the correction applies to
+    the chunk-averaged ``phi_t`` before the gram translation, so the
+    global window optimizes toward the OT-corrected target.
+
     The clip is trimmed to a multiple of mesh_size * 512 samples (equal
     shards; shard length divisible by the STFT frame step so gamma != 0
-    stays exact), of ``scan_window`` in scan mode, or of 4096 in
-    single-window mode.
+    stays exact) or of 4096 in single-window mode.  Scan mode trims only
+    to a multiple of 512 and zero-pads up to a whole number of windows,
+    masking the pad out of the loss (halo.make_scan_exact_loss_fn
+    ``t_valid``) — a 32768-window no longer silently drops up to ~2 s of
+    trailing audio.
     """
     from audio_style_transfer_tpu.signal.mu_law import mu_law_numpy
     from audio_style_transfer_tpu.transfer.lbfgs import LBFGSOptions
@@ -353,28 +366,40 @@ def transfer_exact(
             len(content_audio) if len(content_audio) <= 2_097_152 else 32768
         )
     if mesh is None:
-        quantum = 4096 if scan_window >= len(content_audio) else scan_window
-        scan_window = max(scan_window, quantum)
+        if scan_window >= len(content_audio):  # single-window mode
+            quantum, scan_window = 4096, len(content_audio)
+        else:
+            quantum = 512
     else:
         quantum = int(mesh.devices.size) * 512
-    t_total = (len(content_audio) // quantum) * quantum
-    if t_total == 0:
+    t_valid = (len(content_audio) // quantum) * quantum
+    if t_valid == 0:
         raise ValueError(
             f"content ({len(content_audio)} samples) shorter than one "
             f"{quantum}-sample quantum"
         )
-    content = content_audio[:t_total]
+    if mesh is None and scan_window < t_valid:
+        # Scan mode: pad to a whole number of windows; the pad tail is
+        # masked out of the loss (t_valid), not silently trimmed.
+        t_total = -(-t_valid // scan_window) * scan_window
+    else:
+        t_total = t_valid
+    content = np.pad(content_audio[:t_valid], (0, t_total - t_valid))
 
     # Reference-semantics style statistics (chunk-averaged).
     phi_t = engine.get_style_phi(style_audio, max_examples=max_style_examples)
     phi_s = engine.get_style_phi(content_audio, max_examples=max_style_examples)
+
+    if ot_components is not None:
+        phi_t = _ot_transform_gram(engine, style_audio, content_audio,
+                                   phi_t, ot_components, blend=ot_blend)
 
     opts = LBFGSOptions(
         maxiter=spec.maxiter, line_search="zoom", restart_on_ls_fail=False
     )
     if mesh is None:
         embeds_fn, epoch_fn = _exact_scan_programs(
-            engine.cfg, engine.loss_spec, opts, t_total, scan_window
+            engine.cfg, engine.loss_spec, opts, t_total, scan_window, t_valid
         )
         shard_x = None
     else:
@@ -409,7 +434,7 @@ def transfer_exact(
         if evals[-1] < spec.early_stop_evals:
             break
 
-    audio = inv_mu_law_numpy(np.asarray(x[0]))
+    audio = inv_mu_law_numpy(np.asarray(x[0, :t_valid]))
     return LongformResult(
         audio=audio,
         per_window={
@@ -449,7 +474,8 @@ def _exact_programs(mesh, axis: str, cfg, lspec, opts):
 
 
 @functools.lru_cache(maxsize=8)
-def _exact_scan_programs(cfg, lspec, opts, t_total: int, window: int):
+def _exact_scan_programs(cfg, lspec, opts, t_total: int, window: int,
+                         t_valid: int | None = None):
     """Single-device flavour of :func:`_exact_programs`: the loss runs
     as a window scan (halo.make_scan_exact_loss_fn), so the traced
     program is window-sized however long the clip is."""
@@ -459,8 +485,10 @@ def _exact_scan_programs(cfg, lspec, opts, t_total: int, window: int):
     )
     from audio_style_transfer_tpu.transfer.lbfgs import lbfgs_minimize
 
-    embeds_fn = jax.jit(make_scan_exact_embeds_fn(cfg, lspec, t_total, window))
-    loss_scan = make_scan_exact_loss_fn(cfg, lspec, t_total, window)
+    embeds_fn = jax.jit(
+        make_scan_exact_embeds_fn(cfg, lspec, t_total, window, t_valid)
+    )
+    loss_scan = make_scan_exact_loss_fn(cfg, lspec, t_total, window, t_valid)
 
     @jax.jit
     def epoch_fn(params, x, phi_c, phi):
