@@ -91,6 +91,22 @@ try:
     _MERGE_BWD = int(os.environ.get("AST_CHAIN_MERGE_BWD") or 0)
 except ValueError:  # tolerate legacy values like "false"
     _MERGE_BWD = 0
+# Wavefront-schedule the backward's in-tile layer chain (round-4 weak #1:
+# the serial VPU<->MXU alternation left the measured backward ~20% above
+# its matmul floor).  Each tile splits into an A (left) / B (right) half
+# at a per-layer receding point; pieces run in the skewed order
+# A_0, A_1, B_0, A_2, B_1, ..., B_{k-1} so each adjacent pair is
+# data-independent and Mosaic could overlap one piece's matmuls with the
+# other's mask/roll/add work.  Bit-identical per row (same operand and
+# accumulation order); A/B-gated like the merge modes.
+# MEASURED RESULT (round 5, BENCH_NOTES "wavefront-scheduled trunk
+# backward"): SLOWER than the serial kernel in an identical-plan
+# interleaved A/B (+49 us min, +36 us median per eval) — Mosaic emits
+# the pieces strictly in program order with no cross-piece MXU/VPU
+# overlap, so the half-M matmuls and duplicated dv margin are pure
+# overhead.  Kept opt-in as the tested record of the attempt; default
+# stays the serial kernel.
+_BWD_WAVEFRONT = os.environ.get("AST_CHAIN_BWD_WAVEFRONT", "0") == "1"
 # Per-element byte estimate of Mosaic's in-kernel temporaries (the f32
 # dilated-conv accumulator + relu'd operand + residual in flight), used
 # by the tile picker; env-overridable for tuning experiments.
@@ -172,11 +188,13 @@ def _fwd_vmem(tile, halo, c, s, k, n_taps):
 
 def _bwd_vmem(tile, nk, c, s, k):
     ext = tile + 2 * nk
+    # Serial: dx slot + 2-deep carry + 2-deep tap-cotangent slots (5 ext
+    # buffers).  Wavefront: 3-deep carry (dx loads into slot 2, so no
+    # separate dx slot) + 3-deep tap-cotangent slots (6 ext buffers).
+    slots = 6 if _BWD_WAVEFRONT else 5
     return (
-        ext * c * s                # dx slot
-        + 2 * ext * c * s          # carry ping-pong
+        slots * ext * c * s
         + ext * c + tile * c       # packed mask windows (own + prev)
-        + 2 * ext * c * s          # tap-cotangent slots
         + ext * c * (_INFLIGHT_BYTES + 2 * s)
         + k * 4 * c * c * s
     )
@@ -784,6 +802,177 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
     ).wait()
 
 
+def _wavefront_splits(plan: GroupPlan):
+    """Static A/B split geometry for the wavefront backward, or None when
+    the group cannot be wavefronted (a half would be empty, or a split's
+    dy need would fall outside the layer's valid dy window).
+
+    split[s] is the carry-coordinate boundary for backward step s
+    (j = k-1-s): A_s produces output rows [nk - n_j, split[s]), B_s the
+    rest.  The split recedes by marg[s] = al(d_s, 16) per step so that
+    A_{s+1}'s reads (which extend d_{s+1} <= marg[s+1] past its own
+    output) land entirely in rows A_s produced — B_s is never needed by
+    any A piece, making (A_{s+1}, B_s) an independent pair."""
+    k, tile = plan.k, plan.tile
+    prefix = plan.prefix
+    nk = prefix[-1]
+    marg = [_al(plan.dils[k - 1 - s], _REF_ALIGN) for s in range(k)]
+    split = [0] * k
+    split[k - 1] = nk + tile // 2
+    for s in range(k - 2, -1, -1):
+        split[s] = split[s + 1] + marg[s + 1]
+    for s in range(k):
+        j = k - 1 - s
+        d = plan.dils[j]
+        q = _al(prefix[j] + d, _REF_ALIGN)
+        if not (nk - prefix[j] < split[s] < nk + tile + prefix[j]):
+            return None
+        if split[s] + d > nk + tile + q or split[s] - d < nk - q:
+            return None
+    return tuple(split), tuple(marg)
+
+
+def _bwd_group_kernel_wf(plan: GroupPlan, cp: int, g_locals: tuple,
+                         prev_bit: int, windowed: bool, splits: tuple,
+                         *refs):
+    """Wavefront-scheduled backward (see _wavefront_splits and the
+    AST_CHAIN_BWD_WAVEFRONT comment).  Emission order A_0, A_1, B_0, A_2,
+    B_1, ..., B_{k-1}: each adjacent pair is data-independent, so one
+    piece's MXU matmuls can overlap the other's VPU mask/roll/add work.
+    The carry rotates over THREE slots (a 2-deep ping-pong would let
+    A_{s+1} overwrite rows B_s still reads, and the WAR hazard would
+    serialize exactly the pair being overlapped); the incoming dx loads
+    into slot 2 == (0 - 1) % 3.  Only the dv/dy d-margin around the split
+    is computed twice (~1% extra rows); per-row operands, op order and
+    f32 accumulation order are identical to the serial kernel, so the
+    outputs are bit-identical (tests/test_pallas_chain.py)."""
+    k, tile = plan.k, plan.tile
+    prefix = plan.prefix
+    nk = prefix[-1]
+    ng = len(g_locals)
+    split, marg = splits
+
+    it = iter(refs)
+    take = lambda n: [next(it) for _ in range(n)]
+    vw_ref = next(it) if windowed else None
+    dx_ref, wd_ref, wr_ref, cm_own_ref, cm_prev_ref = take(5)
+    g_refs = take(ng)
+    out_ref = next(it)
+    (carry, cm_own_slot, cm_prev_slot, g_slots, dx_sems,
+     cm_own_sems, cm_prev_sems, g_sems, out_sem) = take(9)
+
+    i = pl.program_id(0)
+    pos = jax.lax.rem(i, cp)
+
+    def g_load(s, start):
+        j = k - 1 - s
+        if j in g_locals:
+            _halo_load(g_refs[g_locals.index(j)], g_slots.at[s % 3],
+                       g_sems.at[s % 3], i, tile, prefix[j + 1], cp, start)
+
+    _halo_load(dx_ref, carry.at[2], dx_sems, i, tile, nk, cp, True)
+    _halo_load(cm_own_ref, cm_own_slot, cm_own_sems, i, tile, nk, cp, True)
+    _halo_load(cm_prev_ref, cm_prev_slot, cm_prev_sems, i, tile, 0, cp, True)
+    for s in range(min(k, 3)):
+        g_load(s, True)
+    _halo_load(dx_ref, carry.at[2], dx_sems, i, tile, nk, cp, False)
+    _halo_load(cm_own_ref, cm_own_slot, cm_own_sems, i, tile, nk, cp, False)
+
+    def bit(win, b):
+        return jnp.bitwise_and(
+            jax.lax.shift_right_arithmetic(win.astype(jnp.int32), b), 1
+        ).astype(jnp.float32)
+
+    dtype = carry.dtype
+
+    def piece(s, lo, hi):
+        """dx of layer j = k-1-s on output rows [lo, hi) (carry coords)."""
+        j = k - 1 - s
+        d = plan.dils[j]
+        n_j, n_j1 = prefix[j], prefix[j + 1]
+        q = _al(n_j + d, _REF_ALIGN)
+        dylo = max(lo - marg[s], nk - q)
+        dyhi = min(hi + marg[s], nk + tile + q)
+        w_dy = dyhi - dylo
+        w = hi - lo
+
+        dxe = carry[(s - 1) % 3, pl.ds(dylo, w_dy)]
+        if j in g_locals:
+            dxe = dxe + g_slots[s % 3, pl.ds(dylo - (nk - n_j1), w_dy)]
+        if windowed:
+            dxe = dxe * _window_mask(w_dy, nk - dylo, pos, tile, cp,
+                                     dxe.dtype, vw_ref[0], vw_ref[1])
+
+        dv = _dot_t(dxe, wr_ref[j])
+        ym = bit(cm_own_slot[pl.ds(dylo, w_dy)], 2 * j + 1)
+        dy = (dv * ym).astype(dtype)
+
+        off = lo - dylo
+        if _MERGE_BWD == 2:
+            cdim = dy.shape[1]
+            e = _dot_t(dy, wd_ref[j])  # [w_dy, 3C] f32
+            e0 = jax.lax.slice_in_dim(e, 0, cdim, axis=1)
+            e1 = jax.lax.slice_in_dim(e, cdim, 2 * cdim, axis=1)
+            e2 = jax.lax.slice_in_dim(e, 2 * cdim, 3 * cdim, axis=1)
+            if d < _REF_ALIGN:
+                rows = e.shape[0]
+                re = jax.lax.slice_in_dim(
+                    pltpu.roll(e0, rows - d, 0), off, off + w)
+                le = jax.lax.slice_in_dim(
+                    pltpu.roll(e2, d, 0), off, off + w)
+            else:
+                re = jax.lax.slice_in_dim(e0, off + d, off + d + w)
+                le = jax.lax.slice_in_dim(e2, off - d, off - d + w)
+            dr = re + jax.lax.slice_in_dim(e1, off, off + w) + le
+        elif _MERGE_BWD == 1:
+            left, cen, right = _tap3(dy, off, d, w)
+            dr = _dot(jnp.concatenate([right, cen, left], axis=1),
+                      wd_ref[j])
+        else:
+            left, cen, right = _tap3(dy, off, d, w)
+            dr = _dot_t(right, wd_ref[j, 0])
+            dr += _dot_t(cen, wd_ref[j, 1])
+            dr += _dot_t(left, wd_ref[j, 2])
+        if j >= 1:
+            xm = bit(cm_own_slot[pl.ds(lo, w)], 2 * (j - 1))
+        else:
+            xm = bit(cm_prev_slot[pl.ds(lo - nk, w)], prev_bit)
+        dx_j = (
+            jax.lax.slice_in_dim(dxe, off, off + w)
+            + (dr * xm).astype(dtype)
+        )
+        carry[s % 3, pl.ds(lo, w)] = dx_j
+
+    def emit_a(s):
+        g_load(s, False)  # waited ONCE per s (A precedes B)
+        if s == k - 1:
+            _halo_load(cm_prev_ref, cm_prev_slot, cm_prev_sems, i, tile,
+                       0, cp, False)
+        piece(s, nk - prefix[k - 1 - s], split[s])
+
+    def emit_b(s):
+        piece(s, split[s], nk + tile + prefix[k - 1 - s])
+        if s + 3 < k:  # slot (s+3)%3 == s%3, now free
+            g_load(s + 3, True)
+
+    emit_a(0)
+    for s in range(1, k):
+        emit_a(s)
+        emit_b(s - 1)
+    emit_b(k - 1)
+
+    pltpu.make_async_copy(
+        carry.at[(k - 1) % 3, pl.ds(nk, tile)],
+        out_ref.at[pl.ds(i * tile, tile)],
+        out_sem,
+    ).start()
+    pltpu.make_async_copy(
+        carry.at[(k - 1) % 3, pl.ds(nk, tile)],
+        out_ref.at[pl.ds(i * tile, tile)],
+        out_sem,
+    ).wait()
+
+
 def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
                gs: dict, wd, wr, clip_rows: int, valid_window=None):
     """One backward group launch.
@@ -806,8 +995,36 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
     g_locals = tuple(sorted(gs))
     windowed = valid_window is not None
 
-    kernel = functools.partial(_bwd_group_kernel, plan, cp, g_locals,
-                               prev_bit, windowed)
+    splits = _wavefront_splits(plan) if _BWD_WAVEFRONT else None
+    if splits is not None:
+        kernel = functools.partial(_bwd_group_kernel_wf, plan, cp, g_locals,
+                                   prev_bit, windowed, splits)
+        scratch = [
+            pltpu.VMEM((3, ext, c), dtype),       # carry (slot 2 <- dx)
+            pltpu.VMEM((ext, c), jnp.int8),       # packed-mask window
+            pltpu.VMEM((tile, c), jnp.int8),      # prev-group mask (center)
+            pltpu.VMEM((3, ext, c), dtype),       # tap-cotangent slots
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3, 3)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(_bwd_group_kernel, plan, cp, g_locals,
+                                   prev_bit, windowed)
+        scratch = [
+            pltpu.VMEM((ext, c), dtype),          # dx slot
+            pltpu.VMEM((2, ext, c), dtype),       # carry ping-pong
+            pltpu.VMEM((ext, c), jnp.int8),       # packed-mask window
+            pltpu.VMEM((tile, c), jnp.int8),      # prev-group mask (center)
+            pltpu.VMEM((2, ext, c), dtype),       # tap-cotangent slots
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     if _MERGE_BWD == 1:
         # Pre-transpose the tap weights once per launch (tiny [K,3,C,C]
         # reshuffle in XLA): rows [w0^T; w1^T; w2^T] per layer.
@@ -833,18 +1050,7 @@ def _bwd_group(plan: GroupPlan, dx, cm_own, cm_prev, prev_bit: int,
         + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(g_locals)),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, c), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ext, c), dtype),          # dx slot
-            pltpu.VMEM((2, ext, c), dtype),       # carry ping-pong
-            pltpu.VMEM((ext, c), jnp.int8),       # packed-mask window
-            pltpu.VMEM((tile, c), jnp.int8),      # prev-group mask (center)
-            pltpu.VMEM((2, ext, c), dtype),       # tap-cotangent slots
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )(*vw_in, dx, wd.astype(dtype), wr.astype(dtype), cm_own, cm_prev,
       *[gs[j] for j in g_locals])
 

@@ -251,6 +251,7 @@ def run_composed(
     seeds: int = 1,
     toy: bool = False,
     fused: bool = False,
+    early_stop_evals: int | None = None,
 ) -> list[dict]:
     import tensorflow as tf
 
@@ -282,6 +283,10 @@ def run_composed(
             epochs=epochs, maxiter=maxiter, lambd=100.0, gamma=0.0,
             fused_encoder=fused, write_artifacts=False,
         )
+    if early_stop_evals is not None:
+        import dataclasses as _dc
+
+        spec = _dc.replace(spec, early_stop_evals=early_stop_evals)
     params = init_params(jax.random.PRNGKey(7 if not toy else 42), cfg)
 
     out = []
@@ -373,10 +378,14 @@ def main(argv=None) -> int:
     p.add_argument("--toy", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused encoder on our side (TPU)")
+    p.add_argument("--early_stop", type=int, default=None,
+                   help="override the <50-eval epoch early stop on BOTH "
+                   "stacks (0 = fixed work: run the full epoch budget)")
     args = p.parse_args(argv)
 
     records = run_composed(t=args.t, epochs=args.epochs, maxiter=args.maxiter,
-                           seeds=args.seeds, toy=args.toy, fused=args.fused)
+                           seeds=args.seeds, toy=args.toy, fused=args.fused,
+                           early_stop_evals=args.early_stop)
     ok = True
     for r in records:
         print(json.dumps(r))

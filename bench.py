@@ -66,6 +66,20 @@ def main():
                         help="also run the 60-s chunked+OT long-form config "
                              "(BASELINE config 5; default on)")
     parser.add_argument("--no_longform", dest="longform", action="store_false")
+    parser.add_argument("--synthesis", dest="synthesis", action="store_true",
+                        default=True,
+                        help="also record autoregressive-synthesis "
+                             "us/sample at f32/bf16/int8 (default on, so "
+                             "the round-3 94-us claim is a driver artifact)")
+    parser.add_argument("--no_synthesis", dest="synthesis",
+                        action="store_false")
+    parser.add_argument("--train_step", dest="train_step",
+                        action="store_true", default=True,
+                        help="also record the reference-geometry training "
+                             "step (batch 32 x 6144) ms/step + model FLOP/s "
+                             "(default on)")
+    parser.add_argument("--no_train_step", dest="train_step",
+                        action="store_false")
     parser.add_argument("--strict", dest="strict", action="store_true",
                         default=True,
                         help="fail loudly if the Pallas fused encoder cannot "
@@ -208,17 +222,22 @@ def main():
         # instead of costing the whole benchmark record; the default
         # --strict re-raises so a regression fails loudly (same policy as
         # the Pallas-compile guard).
+        ns_per_eval_ms = 1e3 * wallclock / max(total_iters, 1)
         try:
-            out["longform"] = run_longform(params, args)
+            out["longform"] = run_longform(params, args, ns_per_eval_ms)
         except Exception as e:  # pragma: no cover - defensive
             if args.strict:
                 raise
             out["longform"] = {"error": repr(e)}
+    if args.synthesis:
+        out["synthesis"] = run_synthesis(params)
+    if args.train_step:
+        out["train_step"] = run_train_step(params)
 
     print(json.dumps(out))
 
 
-def run_longform(params, args):
+def run_longform(params, args, ns_per_eval_ms: float = 1.188):
     """BASELINE config 5 (single-chip flavour): 60 s of audio, chunked into
     16384-sample windows, OT-transformed style target, windows optimized in
     groups of 8. On a v5e-8 the groups shard over the mesh (pass mesh= to
@@ -306,16 +325,131 @@ def run_longform(params, args):
         walls.append(time.time() - t0)
     dt = min(walls)
     evals = int(np.sum(res.per_window["evals"]))
+    t_total = int(res.audio.shape[0])
     out["exact"] = {
-        "t_total": int(res.audio.shape[0]),
+        "t_total": t_total,
         "cold_s_inc_compile_1ep": round(cold, 1),
         "wallclock_s": round(dt, 1),
         "wallclock_runs_s": [round(w, 1) for w in walls],
         "epochs": int(res.per_window["epochs_done"]),
         "evals": evals,
         "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
+        # Ratio of the exact global-window per-eval cost to LINEAR scaling
+        # of the north star's per-eval wall at T=16384 (the <=1.5x target
+        # of BENCH_NOTES "Round 4: exact long-form mode").
+        "vs_linear_16384": round(
+            (1e3 * dt / max(evals, 1))
+            / (ns_per_eval_ms * t_total / args.batch_size), 2),
+    }
+
+    # 15-s exact scaling point (BENCH_NOTES round-4 table row, previously
+    # notes-only — VERDICT r4 weak #5): same joint objective at mid T.
+    content15 = synth_audio(15.0, kind="content")
+    transfer_exact(engine, content15, style, mesh=None, epochs=1)  # warm
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        res15 = transfer_exact(engine, content15, style, mesh=None,
+                               epochs=min(spec.epochs, 5))
+        walls.append(time.time() - t0)
+    dt15 = min(walls)
+    evals15 = int(np.sum(res15.per_window["evals"]))
+    t15 = int(res15.audio.shape[0])
+    out["exact_15s"] = {
+        "t_total": t15,
+        "wallclock_s": round(dt15, 1),
+        "wallclock_runs_s": [round(w, 1) for w in walls],
+        "epochs": int(res15.per_window["epochs_done"]),
+        "evals": evals15,
+        "ms_per_eval": round(1e3 * dt15 / max(evals15, 1), 2),
+        "vs_linear_16384": round(
+            (1e3 * dt15 / max(evals15, 1))
+            / (ns_per_eval_ms * t15 / args.batch_size), 2),
     }
     return out
+
+
+def run_synthesis(params):
+    """Autoregressive synthesis: us/sample at batch 1 for f32/bf16/int8
+    decoder weights (reference hot loop fastgen.py:196-211 pays one
+    host<->device round trip PER SAMPLE; ours is one lax.scan)."""
+    import jax.numpy as jnp
+
+    from audio_style_transfer_tpu.generate.fastgen import synthesize
+
+    enc = np.random.RandomState(0).randn(1, 16, 16).astype(np.float32) * 0.3
+    n = enc.shape[1] * 512  # samples per run (hop 512)
+    out = {}
+    for label, kw in [("f32", {}), ("bf16", {"dtype": jnp.bfloat16}),
+                      ("int8", {"quantize": "int8"})]:
+        synthesize(enc, params=params, **kw)  # warm/compile
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            synthesize(enc, params=params, **kw)
+            walls.append(time.time() - t0)
+        out[label] = {
+            "us_per_sample": round(min(walls) / n * 1e6, 1),
+            "s_per_audio_second": round(min(walls) / n * 16000, 2),
+        }
+    out["samples"] = n
+    return out
+
+
+def run_train_step(params):
+    """Reference-geometry training step (total batch 32, length 6144,
+    reference nsynth/wavenet/train.py:121-132): ms/step amortized over an
+    8-step scanned call, plus XLA's model-FLOP estimate for an MFU row.
+    bf16 compute + remat, the configuration of the README's one-chip
+    claim (the f32 step needs ~21 GB HBM and does not fit a 16 GB v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_style_transfer_tpu.models import WaveNetAEConfig
+    from audio_style_transfer_tpu.train.trainer import TrainConfig, Trainer
+
+    k = 8
+    trainer = Trainer(
+        TrainConfig(steps_per_call=k, logdir="/tmp/ast_bench_train"),
+        WaveNetAEConfig(compute_dtype=jnp.bfloat16),
+    )
+    state = trainer.init_state(params)
+    wavs = np.random.RandomState(0).uniform(
+        -0.9, 0.9, (k, 32, 6144)).astype(np.float32)
+    state, _ = trainer.run_steps(state, wavs)  # compile
+    jax.block_until_ready(state)
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        state, losses = trainer.run_steps(state, wavs)
+        jax.block_until_ready((state, losses))
+        walls.append(time.time() - t0)
+    ms_per_step = min(walls) / k * 1e3
+    rec = {"ms_per_step": round(ms_per_step, 1),
+           "wallclock_runs_s": [round(w, 3) for w in walls],
+           "steps_per_call": k}
+    try:  # XLA cost model: model FLOPs -> achieved FLOP/s.  Analyzed on
+        # the SINGLE-step program — the scanned body's flop count is
+        # reported once per program regardless of trip count, so dividing
+        # the k-step program's count by k would be wrong.  One extra
+        # compile, persistent-cache-amortized.
+        cost = (
+            trainer._step_fn
+            .lower(state, jax.numpy.asarray(wavs[0]))
+            .compile()
+            .cost_analysis()
+        )
+        flops_per_step = float(cost["flops"])
+        rec["model_tflops_per_s"] = round(
+            flops_per_step / (ms_per_step / 1e3) / 1e12, 1)
+        rec["model_gflops_per_step"] = round(flops_per_step / 1e9, 1)
+        # v5e peak 197 bf16 TFLOP/s; "model" counts remat recompute the
+        # way XLA emitted it, so this is hardware utilization, not 6ND MFU.
+        rec["mxu_utilization_pct"] = round(
+            flops_per_step / (ms_per_step / 1e3) / 197e12 * 100, 1)
+    except Exception:  # cost model unavailable on some runtimes
+        pass
+    return rec
 
 
 def run_suite(params, args, content, style):

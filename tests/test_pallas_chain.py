@@ -351,6 +351,111 @@ def test_windowed_gradient_multi_group():
     )
 
 
+@pytest.fixture
+def wavefront_mode(monkeypatch):
+    """Route the backward through the wavefront-scheduled kernel
+    (_bwd_group_kernel_wf) regardless of AST_CHAIN_BWD_WAVEFRONT, and
+    clear the plan/trace caches that captured the serial _bwd_vmem
+    estimate."""
+    monkeypatch.setattr(pc, "_BWD_WAVEFRONT", True)
+    pc.plan_groups.cache_clear()
+    pc._make_trunk.cache_clear()
+    yield
+    pc.plan_groups.cache_clear()
+    pc._make_trunk.cache_clear()
+
+
+def test_wavefront_gradient_matches_reference(wavefront_mode):
+    """The wavefront-scheduled backward (A/B half-tile pieces in skewed
+    emission order, 3-deep carry rotation) must reproduce the serial
+    kernel's contract: waveform gradients == the XLA reference trunk.
+    Geometry is chosen so _wavefront_splits is feasible (asserted — a
+    None split would silently fall back to the serial kernel and test
+    nothing)."""
+    dils = (1, 2, 4)
+    emit = (1, 2)
+    plans = plan_groups(dils, 256, 8, 4, emit)
+    assert any(pc._wavefront_splits(p) is not None for p in plans), [
+        (p.dils, p.tile) for p in plans
+    ]
+    x, wd, bd, wr, br = _inputs(t=256, n=3, seed=5)
+    tg = [
+        jnp.asarray(np.random.RandomState(9 + i).randn(256, 8).astype(np.float32))
+        for i in range(2)
+    ]
+
+    def loss(fn, z):
+        taps = fn(z, wd, bd, wr, br, dils, emit)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    g_fused = jax.grad(functools.partial(loss, fused_trunk))(x)
+    g_ref = jax.grad(functools.partial(loss, reference_trunk))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_wavefront_windowed_gradient_matches_masked_reference(wavefront_mode):
+    """Wavefront backward under a dynamic valid window (the exact
+    long-form edge-shard path): loss + gradient == the valid-masked XLA
+    trunk.  The window mask multiplies dxe over the A/B dy margin, so
+    the receding-split geometry must not change which rows are masked."""
+    dils = (1, 2, 4)
+    emit = (0, 2)
+    plans = plan_groups(dils, 256, 8, 4, emit)
+    assert any(pc._wavefront_splits(p) is not None for p in plans)
+    x, wd, bd, wr, br = _inputs(t=256, n=3, seed=51)
+    tg = [
+        jnp.asarray(np.random.RandomState(52 + i).randn(256, 8).astype(np.float32))
+        for i in range(2)
+    ]
+
+    def loss(fn, z, vw):
+        taps = fn(z, wd, bd, wr, br, dils, emit, valid_window=vw)
+        return sum(
+            jnp.sum((t - g) ** 2) * (i + 1)
+            for i, (t, g) in enumerate(zip(taps, tg))
+        )
+
+    for lo, hi in [(32, 224), (0, 256)]:
+        vw = jnp.asarray([lo, hi], jnp.int32)
+        fv, g_fused = jax.value_and_grad(
+            functools.partial(loss, fused_trunk), argnums=0
+        )(x, vw)
+        rv, g_ref = jax.value_and_grad(
+            functools.partial(loss, reference_trunk), argnums=0
+        )(x, vw)
+        np.testing.assert_allclose(float(fv), float(rv), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-4,
+            err_msg=f"window ({lo},{hi})",
+        )
+
+
+def test_wavefront_splits_feasible_at_full_geometry():
+    """Every group of the north-star 30-layer plan must wavefront (a
+    None split silently falls back to the serial kernel, so a planner
+    change that broke feasibility would disable the mode without any
+    error).  Also pins the invariants the kernel relies on: the split
+    recedes by exactly marg per step and stays strictly inside each
+    layer's producible row range."""
+    dils30 = tuple(2 ** (i % 10) for i in range(30))
+    plans = plan_groups(dils30, 16384, 128, 2, tuple(range(10)) + (29,))
+    for p in plans:
+        got = pc._wavefront_splits(p)
+        assert got is not None, (p.dils, p.tile)
+        split, marg = got
+        nk = p.prefix[-1]
+        for s in range(p.k):
+            j = p.k - 1 - s
+            assert nk - p.prefix[j] < split[s] < nk + p.tile + p.prefix[j]
+            if s + 1 < p.k:
+                assert split[s] == split[s + 1] + marg[s + 1]
+
+
 def test_encoder_trunk_valid_window_chain_matches_masked_xla():
     """encoder_trunk(chain_encoder=True, valid_window=...) == the
     valid-mask XLA trunk — including the startconv masking outside the
