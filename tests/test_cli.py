@@ -93,6 +93,60 @@ def test_generate_cli_discovery(tmp_path):
     assert postfix == ".npy" and len(files) == 1
 
 
+def test_get_dir_maxiter_naming(tmp_path):
+    """Non-default --maxiter changes the optimization trajectory, so it must
+    land in a distinct artifact dir (advisor r4 #2); the default keeps the
+    reference-identical path (methods.py hardcodes 100 at methods.py:137)."""
+    from audio_style_transfer_tpu.cli.transfer import build_parser, get_dir
+
+    base = ["tone", "square", "--outdir", str(tmp_path)]
+    default = get_dir(str(tmp_path), build_parser().parse_args(base))
+    again = get_dir(str(tmp_path), build_parser().parse_args(base))
+    tuned = get_dir(str(tmp_path),
+                    build_parser().parse_args(base + ["--maxiter", "50"]))
+    assert default == again
+    assert tuned != default
+    assert "maxiter" not in os.path.basename(default)
+    assert "_maxiter_50_" in os.path.basename(tuned)
+
+
+def test_longform_cli_collapses_stereo(tmp_path, monkeypatch):
+    """_run_longform must hand the chunkers 1-D audio even for stereo files
+    (advisor r4 #1: a [channels, T] array made the chunkers see
+    len(audio)==n_channels and crash or mis-chunk)."""
+    import types
+
+    from audio_style_transfer_tpu.cli import transfer as cli
+    from audio_style_transfer_tpu.transfer import longform as lf
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t),
+                       np.sin(2 * np.pi * 440 * t)]).astype(np.float32)
+    d = tmp_path / "src"
+    d.mkdir()
+    write_wav(str(d / "c.wav"), 0.5 * stereo, sr)
+    write_wav(str(d / "s.wav"), 0.4 * stereo, sr)
+
+    seen = {}
+
+    def fake_transfer_longform(engine, content, style, **kw):
+        seen["content"], seen["style"] = content, style
+        return types.SimpleNamespace(
+            audio=np.zeros(4096, np.float32),
+            per_window={"evals": np.array([1])},
+        )
+
+    monkeypatch.setattr(lf, "transfer_longform", fake_transfer_longform)
+    args = cli.build_parser().parse_args([
+        "c", "s", "--dir", str(d), "--longform", "--no_artifacts",
+    ])
+    cli._run_longform(None, args, str(d / "c.wav"), str(d / "s.wav"),
+                      str(tmp_path))
+    assert seen["content"].ndim == 1 and seen["content"].shape[0] == sr
+    assert seen["style"].ndim == 1 and seen["style"].shape[0] == sr
+
+
 @pytest.mark.slow
 def test_transfer_cli_longform_dispatch(wav_dir, tmp_path):
     """--longform must actually run the chunked long-form driver (round 4

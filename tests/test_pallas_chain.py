@@ -54,6 +54,40 @@ def test_plan_covers_all_layers_and_respects_halos():
     assert covered == list(range(30))
 
 
+def test_partition_override_infeasible_raises_named_error(monkeypatch):
+    """An infeasible AST_CHAIN_PARTITION override group must raise a
+    ValueError naming the group (advisor r4 #3: previously _group_cost's
+    None unpacked into an opaque TypeError, contradicting the
+    'feasibility is still checked per group below' comment)."""
+    dils30 = tuple(2 ** (i % 10) for i in range(30))
+    monkeypatch.setattr(pc, "_PARTITION_OVERRIDE", "30")
+    plan_groups.cache_clear()
+    try:
+        with pytest.raises(ValueError, match=r"AST_CHAIN_PARTITION group 0"):
+            plan_groups(dils30, 16384, 128, 4, tuple(range(10)) + (29,))
+    finally:
+        plan_groups.cache_clear()
+
+
+def test_merge_bwd_env_parse_is_defensive():
+    """AST_CHAIN_MERGE_BWD must tolerate empty/legacy values at import
+    (advisor r4 #5: int('') and int('false') raised at import time)."""
+    import os
+    import subprocess
+    import sys
+
+    for val, want in (("", "0"), ("false", "0"), ("2", "2")):
+        env = dict(os.environ, AST_CHAIN_MERGE_BWD=val, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import audio_style_transfer_tpu.ops.pallas_chain as pc;"
+             "print(pc._MERGE_BWD)"],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, (val, r.stderr[-800:])
+        assert r.stdout.strip().splitlines()[-1] == want, (val, r.stdout)
+
+
 def test_plan_respects_packed_mask_capacity():
     """Groups are capped at 2k <= 8 mask bits; many small dilations must
     split instead of tracing a k>4 group into _fwd_group's assert
