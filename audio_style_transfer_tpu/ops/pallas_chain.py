@@ -186,12 +186,16 @@ def _fwd_vmem(tile, halo, c, s, k, n_taps):
     )
 
 
-def _bwd_vmem(tile, nk, c, s, k):
+def _bwd_vmem(tile, nk, c, s, k, wavefront=False):
     ext = tile + 2 * nk
     # Serial: dx slot + 2-deep carry + 2-deep tap-cotangent slots (5 ext
     # buffers).  Wavefront: 3-deep carry (dx loads into slot 2, so no
     # separate dx slot) + 3-deep tap-cotangent slots (6 ext buffers).
-    slots = 6 if _BWD_WAVEFRONT else 5
+    # ``wavefront`` is per-candidate: under AST_CHAIN_BWD_WAVEFRONT a
+    # group whose split geometry is infeasible at this tile runs the
+    # SERIAL kernel (see _bwd_group), so charging it 6 slots would
+    # shrink its tile for a buffer it never allocates.
+    slots = 6 if wavefront else 5
     return (
         slots * ext * c * s
         + ext * c + tile * c       # packed mask windows (own + prev)
@@ -256,12 +260,16 @@ def _group_cost(dils, clip_rows, c, itemsize, n_emit):
         tile *= 2
     best = None
     while tile >= 128:
+        wf = (
+            _BWD_WAVEFRONT
+            and _wavefront_geom(dils, tile, prefix) is not None
+        )
         if (
             halo <= tile
             and nk <= tile
             and _fwd_vmem(tile, halo, c, itemsize, len(dils), n_emit)
             <= _SCOPED_VMEM_BUDGET
-            and _bwd_vmem(tile, nk, c, itemsize, len(dils))
+            and _bwd_vmem(tile, nk, c, itemsize, len(dils), wf)
             <= _SCOPED_VMEM_BUDGET
         ):
             waste = sum(
@@ -802,7 +810,7 @@ def _bwd_group_kernel(plan: GroupPlan, cp: int, g_locals: tuple,
     ).wait()
 
 
-def _wavefront_splits(plan: GroupPlan):
+def _wavefront_geom(dils: tuple, tile: int, prefix: tuple):
     """Static A/B split geometry for the wavefront backward, or None when
     the group cannot be wavefronted (a half would be empty, or a split's
     dy need would fall outside the layer's valid dy window).
@@ -812,24 +820,32 @@ def _wavefront_splits(plan: GroupPlan):
     rest.  The split recedes by marg[s] = al(d_s, 16) per step so that
     A_{s+1}'s reads (which extend d_{s+1} <= marg[s+1] past its own
     output) land entirely in rows A_s produced — B_s is never needed by
-    any A piece, making (A_{s+1}, B_s) an independent pair."""
-    k, tile = plan.k, plan.tile
-    prefix = plan.prefix
+    any A piece, making (A_{s+1}, B_s) an independent pair.
+
+    Takes the raw (dils, tile, prefix) triple rather than a GroupPlan so
+    the planner's VMEM model can ask "would this candidate wavefront?"
+    before the plan exists (see _bwd_vmem)."""
+    k = len(dils)
     nk = prefix[-1]
-    marg = [_al(plan.dils[k - 1 - s], _REF_ALIGN) for s in range(k)]
+    marg = [_al(dils[k - 1 - s], _REF_ALIGN) for s in range(k)]
     split = [0] * k
     split[k - 1] = nk + tile // 2
     for s in range(k - 2, -1, -1):
         split[s] = split[s + 1] + marg[s + 1]
     for s in range(k):
         j = k - 1 - s
-        d = plan.dils[j]
+        d = dils[j]
         q = _al(prefix[j] + d, _REF_ALIGN)
         if not (nk - prefix[j] < split[s] < nk + tile + prefix[j]):
             return None
         if split[s] + d > nk + tile + q or split[s] - d < nk - q:
             return None
     return tuple(split), tuple(marg)
+
+
+def _wavefront_splits(plan: GroupPlan):
+    """See _wavefront_geom — same decision, keyed off the built plan."""
+    return _wavefront_geom(plan.dils, plan.tile, plan.prefix)
 
 
 def _bwd_group_kernel_wf(plan: GroupPlan, cp: int, g_locals: tuple,

@@ -468,6 +468,16 @@ def make_scan_exact_loss_fn(
     needed = tuple(sorted(set(spec.cont_lyr_ids) | set(spec.style_layer_ids)))
     frame_length, frame_step = 1024, 512
     n_frames = 1 + (t_valid - frame_length) // frame_step
+    if spec.gamma != 0.0 and n_frames < 1:
+        # The STFT regularizer needs at least one whole frame; with
+        # t_valid < frame_length the mean below would divide by zero and
+        # poison the loss with NaN.  Unreachable via transfer_exact
+        # (its quantum keeps t_valid >= 512-aligned window sizes), but
+        # guard the public builder for direct callers.
+        raise ValueError(
+            f"t_valid {t_valid} is shorter than one STFT frame "
+            f"({frame_length}); the gamma regularizer is undefined"
+        )
     m_win = window // frame_step
     # Edge/middle split: a window is FULLY valid iff its halo-extended
     # tile lies inside [0, t_valid) — those run the plain (unmasked)

@@ -443,10 +443,17 @@ def run_train_step(params):
         rec["model_tflops_per_s"] = round(
             flops_per_step / (ms_per_step / 1e3) / 1e12, 1)
         rec["model_gflops_per_step"] = round(flops_per_step / 1e9, 1)
-        # v5e peak 197 bf16 TFLOP/s; "model" counts remat recompute the
-        # way XLA emitted it, so this is hardware utilization, not 6ND MFU.
+        # Per-device bf16 peak by TPU generation; "model" counts remat
+        # recompute the way XLA emitted it, so this is hardware
+        # utilization, not 6ND MFU.  The assumed peak is recorded so the
+        # ratio is auditable (and honest on non-v5e devices).
+        kind = jax.devices()[0].device_kind.lower()
+        peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+                 "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
+        peak = next((v for k_, v in peaks.items() if k_ in kind), 197e12)
+        rec["assumed_peak_tflops"] = round(peak / 1e12)
         rec["mxu_utilization_pct"] = round(
-            flops_per_step / (ms_per_step / 1e3) / 197e12 * 100, 1)
+            flops_per_step / (ms_per_step / 1e3) / peak * 100, 1)
     except Exception:  # cost model unavailable on some runtimes
         pass
     return rec

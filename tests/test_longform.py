@@ -322,3 +322,23 @@ def test_transfer_exact_single_window_matches_mesh(engine):
         res_one.per_window["metrics"], res_mesh.per_window["metrics"],
         rtol=1e-2,
     )
+
+
+def test_scan_exact_rejects_subframe_t_valid_with_gamma():
+    """gamma != 0 with t_valid shorter than one STFT frame (1024) must
+    raise instead of dividing the regularizer by n_frames == 0 and
+    returning NaN (round-5 review finding; unreachable via
+    transfer_exact, guarded for direct callers)."""
+    from audio_style_transfer_tpu.parallel.halo import make_scan_exact_loss_fn
+    from audio_style_transfer_tpu.transfer.losses import LossSpec
+
+    lspec = LossSpec(cont_lyr_ids=(3,), style_layer_ids=(0, 1, 2, 3),
+                     cnt_channels=8, nb_channels=8, gamma=0.01)
+    with pytest.raises(ValueError, match="STFT frame"):
+        make_scan_exact_loss_fn(SMALL, lspec, t_total=1024, window=512,
+                                t_valid=512)
+    # gamma == 0: same geometry is fine (regularizer never evaluated)
+    make_scan_exact_loss_fn(
+        SMALL, LossSpec(cont_lyr_ids=(3,), style_layer_ids=(0, 1, 2, 3),
+                        cnt_channels=8, nb_channels=8, gamma=0.0),
+        t_total=1024, window=512, t_valid=512)

@@ -69,6 +69,36 @@ def test_partition_override_infeasible_raises_named_error(monkeypatch):
         plan_groups.cache_clear()
 
 
+def test_bwd_vmem_charges_wavefront_per_candidate(monkeypatch):
+    """The backward VMEM model charges the 6-buffer wavefront footprint
+    only for candidates that will actually wavefront (round-5 review
+    finding: a blanket 6-slot charge under AST_CHAIN_BWD_WAVEFRONT shrank
+    tiles of groups that fall back to the 5-slot serial kernel)."""
+    # Direct: the wavefront footprint is strictly larger.
+    assert (pc._bwd_vmem(2048, 32, 128, 2, 3, wavefront=True)
+            > pc._bwd_vmem(2048, 32, 128, 2, 3))
+    # Plan-level: with the flag on, the engine geometry's plans must be
+    # wavefrontable at their chosen tiles whenever the 6-slot footprint
+    # was charged — i.e. the planner and the kernel-build agree on which
+    # kernel runs (the kernel picks via _wavefront_splits on the plan).
+    dils30 = tuple(2 ** (i % 10) for i in range(30))
+    monkeypatch.setattr(pc, "_BWD_WAVEFRONT", True)
+    plan_groups.cache_clear()
+    try:
+        plans_wf = plan_groups(dils30, 16384, 128, 2,
+                               tuple(range(10)) + (29,))
+    finally:
+        plan_groups.cache_clear()
+    plans_serial = plan_groups(dils30, 16384, 128, 2,
+                               tuple(range(10)) + (29,))
+    assert sum(p.k for p in plans_wf) == 30
+    # Identical partitions/tiles in both modes at this geometry (the A/B
+    # contract the round-5 BENCH_NOTES measurement relies on).
+    assert [(p.k, p.tile) for p in plans_wf] == [
+        (p.k, p.tile) for p in plans_serial
+    ]
+
+
 def test_merge_bwd_env_parse_is_defensive():
     """AST_CHAIN_MERGE_BWD must tolerate empty/legacy values at import
     (advisor r4 #5: int('') and int('false') raised at import time)."""
