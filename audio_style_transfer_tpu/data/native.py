@@ -92,13 +92,21 @@ class NativeTFRecordReader:
         n = self._lib.tfrec_next(self._handle, self._buf, len(self._buf))
         if n == 0:
             raise StopIteration
+        if n == -2:
+            # Zero-length record: valid framing, empty payload — the C++
+            # side signals it distinctly so it is not mistaken for
+            # end-of-data (which would drop every record after it).
+            return b""
         if n < 0:
             needed = -n
             if needed > len(self._buf):  # grow and retry
                 self._buf = (ctypes.c_uint8 * (2 * needed))()
                 return self.__next__()
             raise IOError("native TFRecord reader error")
-        return bytes(self._buf[:n])
+        # One C-level copy; slicing the ctypes array materializes n
+        # Python ints per record, which dominated the decode at
+        # pipeline rates.
+        return ctypes.string_at(self._buf, n)
 
     def close(self):
         if self._handle:

@@ -52,6 +52,7 @@ class NSynthDataset:
         self.reader_threads = reader_threads
 
     def _raw_records(self, repeat: bool) -> Iterator[bytes]:
+        reader = None
         if self.use_native:
             try:
                 from audio_style_transfer_tpu.data.native import (
@@ -60,14 +61,20 @@ class NSynthDataset:
                 )
 
                 if native_available():
-                    yield from NativeTFRecordReader(
+                    reader = NativeTFRecordReader(
                         self.record_path,
                         num_threads=self.reader_threads,
                         repeat=repeat,
                     )
-                    return
-            except Exception:  # fall through to the pure-Python reader
-                pass
+            except Exception:  # library/startup failure -> Python reader
+                reader = None
+        if reader is not None:
+            # Deliberately NOT wrapped in the fallback try: a mid-stream
+            # reader error must propagate — falling back would silently
+            # restart from record 0 and duplicate already-yielded
+            # examples (poisoning a non-repeat eval epoch).
+            yield from reader
+            return
         while True:
             yield from read_tfrecord(self.record_path)
             if not repeat:
@@ -97,10 +104,16 @@ class NSynthDataset:
         def cropped():
             for ex in self.examples():
                 wav = np.asarray(ex["audio"], np.float32)[:AUDIO_LEN]
+                # Examples shorter than the crop are zero-padded; eval
+                # centers on the ACTUAL length, not the 64000 nominal
+                # (a shorter-than-nominal wav previously crashed the
+                # random crop and ragged-stacked the eval batch).
+                if len(wav) < length:
+                    wav = np.pad(wav, (0, length - len(wav)))
                 if self.is_training:
                     off = rng.randint(0, len(wav) - length + 1)
                 else:
-                    off = (AUDIO_LEN - length) // 2
+                    off = (len(wav) - length) // 2
                 yield {
                     "wav": wav[off : off + length],
                     "pitch": np.int32(ex["pitch"][0]),

@@ -178,6 +178,10 @@ def _parse_feature(buf: bytes):
                         ints.append(val)
                 elif f2 == 1 and w2 == 0:
                     ints.append(v2)
+            # Varints are unsigned on the wire; negative int64s arrive as
+            # 2^64 + v (see the encoder's & (2**64 - 1)) and must fold
+            # back to two's-complement before the int64 cast overflows.
+            ints = [v - (1 << 64) if v >= (1 << 63) else v for v in ints]
             return np.asarray(ints, np.int64)
     return []
 

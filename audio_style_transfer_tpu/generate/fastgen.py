@@ -59,14 +59,24 @@ def encode(wav_data: np.ndarray, params: Params, sample_length: int = 64000,
         wav_data, sample_length, cfg.ae_hop_length
     )
     x_quantized = mu_law(jnp.asarray(wav_data, jnp.float32))
-    _, encoding = _encode_jitted(params, x_quantized, cfg)
+    encoding = _encode_jitted(params, x_quantized, cfg)
     return np.asarray(encoding)
 
 
 # Module-level jit wrappers: re-wrapping with jax.jit inside encode()/
 # synthesize() created a fresh cache per call, so CLI batch loops
 # re-traced (and re-loaded executables) on every batch.
-_encode_jitted = jax.jit(encoder_extracts, static_argnums=2)
+def _encoding_only(params, x, cfg):
+    # Return ONLY the pooled encoding: jitting encoder_extracts whole
+    # would pin all 32 [B, T, C] taps as program outputs (~1 GB per
+    # 64000-sample batch item) that encode() immediately discards;
+    # dropping them inside the jit lets XLA DCE the tap buffers
+    # (needed_taps additionally lets the chained-kernel path skip
+    # emitting them at all).
+    return encoder_extracts(params, x, cfg, needed_taps=(31,))[1]
+
+
+_encode_jitted = jax.jit(_encoding_only, static_argnums=2)
 
 
 # --------------------------------------------------------------------- #

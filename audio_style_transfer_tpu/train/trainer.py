@@ -264,6 +264,13 @@ class Trainer:
         prev_term = signal.signal(signal.SIGTERM, _handler)
         prev_int = signal.signal(signal.SIGINT, _handler)
         k = max(1, cfg.steps_per_call)
+        # One host sync up front; after that the step counter is tracked
+        # on the host so the loop never blocks on the in-flight device
+        # step (reading state["step"] each iteration would serialize the
+        # batch prefetch against device compute — the exact overlap this
+        # loop exists to provide).
+        step = int(state["step"])
+        step_start = step
         try:
             done = False
             it = iter(batches)
@@ -295,17 +302,23 @@ class Trainer:
                     if remaining - n_in_group > 0 and not done
                     else None
                 )
-                if n_in_group > 1:
+                if n_in_group == k and k > 1:
                     state, losses = self._multi_step_fn(state, group)
                     loss = losses[-1]
                 else:
-                    state, loss = self._step_fn(state, group[0])
+                    # Partial (trailing) groups run the single-step
+                    # program one step at a time: every remainder size
+                    # shares ONE compiled program, where the k-step scan
+                    # would retrace/recompile per distinct leading dim.
+                    for i in range(n_in_group):
+                        state, loss = self._step_fn(state, group[i])
                 remaining -= n_in_group
-                step = int(state["step"])
+                step += n_in_group
                 if step % cfg.log_every_steps < n_in_group:
                     log(
                         f"step {step} loss {float(loss):.4f} "
-                        f"({step / (time.time() - t0):.2f} steps/s)"
+                        f"({(step - step_start) / (time.time() - t0):.2f}"
+                        " steps/s)"
                     )
                 if cfg.save_every_steps and step % cfg.save_every_steps < n_in_group:
                     self.save(state)
@@ -340,10 +353,14 @@ class Trainer:
 
         logdir = os.path.abspath(self.cfg.logdir)
         if step is None:
+            # Only fully-written checkpoints count: a SIGKILL mid-save
+            # leaves orbax temp dirs like ckpt-1000.orbax-checkpoint-tmp-*
+            # whose suffix is not an int — they must be skipped, not
+            # crash the resume path they'd otherwise block.
             steps = [
-                int(d.split("-")[1])
+                int(d[len("ckpt-"):])
                 for d in os.listdir(logdir)
-                if d.startswith("ckpt-")
+                if d.startswith("ckpt-") and d[len("ckpt-"):].isdigit()
             ]
             if not steps:
                 raise FileNotFoundError(f"no checkpoints under {logdir}")

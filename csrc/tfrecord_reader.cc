@@ -86,8 +86,12 @@ class TFRecordReader {
     for (auto& t : workers_) t.join();
   }
 
-  // Pops one record. Returns payload size, 0 on end-of-data, -1 on error.
+  // Pops one record. Returns payload size, 0 on end-of-data, -1 on error,
+  // -2 for a zero-length record (valid framing, empty payload — distinct
+  // from end-of-data, which a bare 0 would be mistaken for).
   // Caller provides a buffer; if too small, returns -(needed size).
+  // (-1/-2 cannot collide with -(needed): "too small" is only returned
+  // when needed exceeds the caller's >=1 MB buffer.)
   int64_t Next(uint8_t* buf, int64_t buf_len) {
     std::unique_lock<std::mutex> lock(mu_);
     not_empty_.wait(lock, [this] {
@@ -101,7 +105,7 @@ class TFRecordReader {
     queue_.pop_front();
     lock.unlock();
     not_full_.notify_one();
-    return n;
+    return n == 0 ? -2 : n;
   }
 
  private:

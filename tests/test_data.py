@@ -111,3 +111,72 @@ def test_nsynth_eval_center_crop(tmp_path):
     raw = list(ds.examples(repeat=False))
     expected = np.asarray(raw[0]["audio"], np.float32)[28928 : 28928 + 6144]
     np.testing.assert_allclose(batch["wav"][0], expected)
+
+
+def test_int64_negative_round_trip():
+    """Negative int64 features must fold back from the unsigned varint
+    (round-5 review: int(2^64-1) previously overflowed the int64 cast)."""
+    vals = np.array([-1, -(2**63), 2**62, 0, 7], np.int64)
+    out = parse_example(build_example({"x": vals}))
+    np.testing.assert_array_equal(out["x"], vals)
+
+
+def test_nsynth_short_audio_padded(tmp_path):
+    """Examples shorter than the crop length are zero-padded, and eval
+    centers on the actual length (round-5 review: short audio crashed the
+    random crop / ragged-stacked the eval batch)."""
+    rng = np.random.RandomState(0)
+    short = rng.randn(3000).astype(np.float32) * 0.1
+    records = [
+        build_example({
+            "note_str": b"short-0",
+            "pitch": np.array([60], np.int64),
+            "velocity": np.array([100], np.int64),
+            "audio": short,
+            "qualities": np.zeros(10, np.int64),
+            "instrument_source": np.array([0], np.int64),
+            "instrument_family": np.array([0], np.int64),
+        })
+    ] * 4
+    path = str(tmp_path / "short.tfrecord")
+    write_tfrecord(path, records)
+
+    train = next(NSynthDataset(path, is_training=True, use_native=False)
+                 .get_wavenet_batch(2, length=6144, shuffle_buffer=0))
+    assert train["wav"].shape == (2, 6144)
+    np.testing.assert_allclose(train["wav"][0][:3000], short[:3000])
+    assert np.all(train["wav"][0][3000:] == 0.0)
+
+    ev = next(NSynthDataset(path, is_training=False, use_native=False)
+              .get_wavenet_batch(2, length=2000))
+    assert ev["wav"].shape == (2, 2000)
+    # center crop of the ACTUAL 3000-sample wav: offset 500
+    np.testing.assert_allclose(ev["wav"][0], short[500:2500])
+
+
+def test_native_midstream_error_propagates(tmp_path, monkeypatch):
+    """A native-reader failure after records have been yielded must raise,
+    not silently restart from record 0 with the Python reader (round-5
+    review: the fallback duplicated already-yielded examples)."""
+    from audio_style_transfer_tpu.data import native as native_mod
+
+    class Boom:
+        def __init__(self, *a, **k):
+            self.n = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self.n >= 2:
+                raise IOError("simulated mid-stream failure")
+            self.n += 1
+            return b"rec%d" % self.n
+
+    monkeypatch.setattr(native_mod, "NativeTFRecordReader", Boom)
+    monkeypatch.setattr(native_mod, "native_available", lambda: True)
+    ds = NSynthDataset(str(tmp_path / "x.tfrecord"), use_native=True)
+    it = ds._raw_records(repeat=False)
+    assert next(it) == b"rec1" and next(it) == b"rec2"
+    with pytest.raises(IOError, match="mid-stream"):
+        next(it)

@@ -65,3 +65,17 @@ def test_native_payloads_parse(tmp_path):
         for r in native.NativeTFRecordReader(path)
     )
     assert pitches == [0, 1, 2]
+
+
+def test_native_empty_record_mid_file(tmp_path):
+    """A zero-length record is a valid payload, not end-of-data (round-5
+    review: the EOF sentinel 0 silently truncated everything after it);
+    native and Python readers must agree on the same file."""
+    from audio_style_transfer_tpu.data.native import NativeTFRecordReader
+    from audio_style_transfer_tpu.data.tfrecord import read_tfrecord
+
+    path = str(tmp_path / "e.tfrecord")
+    write_tfrecord(path, [b"a", b"", b"cc"])
+    got = list(NativeTFRecordReader(path))
+    assert got == [b"a", b"", b"cc"]
+    assert got == list(read_tfrecord(path))

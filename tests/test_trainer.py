@@ -207,3 +207,37 @@ def test_train_to_convergence_and_ema_eval():
     # eval_params exposes the right pytree
     assert tr.eval_params(state, ema=True) is state["ema"]
     assert tr.eval_params(state, ema=False) is state["params"]
+
+
+def test_restore_skips_orbax_temp_dirs(tmp_path):
+    """A SIGKILL mid-save leaves ckpt-<N>.orbax-checkpoint-tmp-* dirs;
+    restore() must skip them instead of crashing on int() (round-5
+    review: the resume path the trainer exists for was the one broken)."""
+    import os
+
+    cfg = TrainConfig(logdir=str(tmp_path), save_every_steps=0)
+    tr = Trainer(cfg, TINY, make_mesh(2))
+    state = tr.init_state()
+    wav = np.random.RandomState(3).uniform(-0.5, 0.5, (4, 256)).astype(np.float32)
+    state, _ = tr.step(state, wav)
+    tr.save(state)
+    os.makedirs(str(tmp_path / "ckpt-999.orbax-checkpoint-tmp-17"))
+    restored = tr.restore()
+    assert int(restored["step"]) == 1
+
+
+def test_fit_partial_trailing_group(tmp_path):
+    """num_steps not divisible by steps_per_call: the remainder runs the
+    single-step program and the host-tracked step counter stays exact."""
+    cfg = TrainConfig(logdir=str(tmp_path), save_every_steps=0,
+                      log_every_steps=1000, steps_per_call=4)
+    tr = Trainer(cfg, TINY, make_mesh(2))
+    state = tr.init_state()
+    rng = np.random.RandomState(5)
+
+    def batches():
+        while True:
+            yield {"wav": rng.uniform(-0.5, 0.5, (4, 256)).astype(np.float32)}
+
+    state = tr.fit(state, batches(), num_steps=6, log=lambda *a: None)
+    assert int(state["step"]) == 6
