@@ -441,6 +441,10 @@ def transfer_exact(
             "metrics": np.asarray(metrics, np.float32),
             "evals": np.asarray(evals, np.int32),
             "epochs_done": done,
+            # Length the program actually optimized: in scan mode this is
+            # t_valid padded up to whole scan windows, so per-eval-cost
+            # accounting must divide by THIS, not len(audio).
+            "t_optimized": int(t_total),
             "x": np.asarray(x),
         },
     )

@@ -303,6 +303,10 @@ def test_transfer_exact_scan_keeps_tail(engine):
                          scan_window=4096)
     assert res.audio.shape == ((4096 * 3 + 1000) // 512 * 512,)  # 12800
     assert np.all(np.isfinite(res.audio))
+    # per_window records the length the program OPTIMIZED — t_valid padded
+    # up to whole scan windows (12800 -> 16384) — so bench per-eval
+    # accounting divides by the real work, not the trimmed output length.
+    assert res.per_window["t_optimized"] == 4096 * 4
 
 
 def test_transfer_exact_single_window_matches_mesh(engine):
