@@ -165,8 +165,40 @@ def _causal_step(params, name, buf, t, rate, x):
     return y, new_buf
 
 
-def _decoder_step(params, cfg, bufs, t, en, x_scaled):
-    """One incremental decoder step from cached taps. Returns (logits, bufs)."""
+def _precompute_cond(params, cfg, encodings):
+    """Project every encoding frame through all cond_map layers ONCE.
+
+    The conditioning input changes only every ``ae_hop_length`` samples
+    (reference fastgen.py:197-203 re-feeds the same frame for the whole
+    hop), yet the per-sample decoder step paid ``num_layers + 1`` tiny
+    matmuls plus the ~2 MB/sample cond-weight HBM stream for it.
+    Projecting the [B, F, z] frames outside the sample scan is the same
+    matmul on the same rows (bit-identical logits, asserted by the
+    teacher-forced oracle in tests/test_fastgen.py) and turns the
+    per-step work into ONE frame-row gather.
+
+    Returns a list of num_layers + 1 arrays ([B, F, 2 * width] per layer,
+    [B, F, skip_width] for cond_map_out1), kept separate so each layer's
+    per-step frame gather fuses next to that layer's gate add.
+    """
+    cond = [
+        _linear(params, f"cond_map_{i}", encodings)
+        for i in range(1, cfg.num_layers + 1)
+    ]
+    cond.append(_linear(params, "cond_map_out1", encodings))
+    return cond
+
+
+def _decoder_step(params, cfg, bufs, t, cond, enc_i, x_scaled):
+    """One incremental decoder step from cached taps. ``cond`` is the
+    ``_precompute_cond`` list; ``enc_i`` the conditioning frame index.
+    Returns (logits, bufs)."""
+
+    def cond_row(i):
+        return jax.lax.dynamic_index_in_dim(
+            cond[i], enc_i, axis=1, keepdims=False
+        )
+
     new_bufs = {}
     l, new_bufs["startconv"] = _causal_step(
         params, "startconv", bufs["startconv"], t, 1, x_scaled
@@ -177,14 +209,14 @@ def _decoder_step(params, cfg, bufs, t, en, x_scaled):
         rate = cfg.dilation(i - 1)
         name = f"dilatedconv_{i}"
         d, new_bufs[name] = _causal_step(params, name, bufs[name], t, rate, l)
-        d = d + _linear(params, f"cond_map_{i}", en)
+        d = d + cond_row(i - 1)
         m = d.shape[-1] // 2
         d = jax.nn.sigmoid(d[:, :m]) * jnp.tanh(d[:, m:])
         l = l + _linear(params, f"res_{i}", d)
         s = s + _linear(params, f"skip_{i}", d)
 
     s = jax.nn.relu(s)
-    s = _linear(params, "out1", s) + _linear(params, "cond_map_out1", en)
+    s = _linear(params, "out1", s) + cond_row(cfg.num_layers)
     s = jax.nn.relu(s)
     return _linear(params, "logits", s), new_bufs
 
@@ -205,11 +237,12 @@ def incremental_logits(params: Params, x_quantized, encoding,
     # (reference model.py:136).
     x_in = jnp.pad(x_scaled_seq, ((0, 0), (1, 0), (0, 0)))[:, :t_total]
 
+    cond_all = _precompute_cond(params, cfg, encoding.astype(jnp.float32))
+
     def step(bufs, inputs):
         t, x_t = inputs
         enc_i = t // cfg.ae_hop_length
-        en = jax.lax.dynamic_index_in_dim(encoding, enc_i, axis=1, keepdims=False)
-        logits, bufs = _decoder_step(params, cfg, bufs, t, en.astype(jnp.float32), x_t)
+        logits, bufs = _decoder_step(params, cfg, bufs, t, cond_all, enc_i, x_t)
         return bufs, logits
 
     bufs = _init_buffers(cfg, b)
@@ -229,19 +262,23 @@ def synthesize_jit(params: Params, encodings, rng, cfg: WaveNetAEConfig | None =
     total_length = enc_length * cfg.ae_hop_length
     encodings = jnp.asarray(encodings, jnp.float32)
 
+    cond_all = _precompute_cond(params, cfg, encodings)
+
     def step(carry, t):
         bufs, audio, key = carry
         key, sample_key = jax.random.split(key)
 
-        # conditioning frame for this hop window (fastgen.py:197-203)
+        # conditioning frame for this hop window (fastgen.py:197-203),
+        # pre-projected through every cond_map outside the scan
         enc_i = t // cfg.ae_hop_length
-        en = jax.lax.dynamic_index_in_dim(encodings, enc_i, axis=1, keepdims=False)
 
         # continuous mu-law of the fed-back sample (FastGenerationConfig
         # build, reference nsynth/wavenet/model.py:55-57)
         x_scaled = mu_law(audio) / 128.0  # [B, 1]
 
-        logits, new_bufs = _decoder_step(params, cfg, bufs, t, en, x_scaled)
+        logits, new_bufs = _decoder_step(
+            params, cfg, bufs, t, cond_all, enc_i, x_scaled
+        )
 
         sample_bin = jax.random.categorical(sample_key, logits, axis=-1)  # [B]
         audio = inv_mu_law(sample_bin[:, None].astype(jnp.float32) - 128.0)

@@ -177,14 +177,16 @@ def main():
             engine = StyleTransfer(spec, params)
             engine.optimize(phi_c, phi, epochs=args.epochs)
 
-    # Min-of-3: the program and inputs are deterministic (identical evals
-    # and losses each run), so min wall isolates the chip from ambient
-    # link-latency spikes (measured hours-scale drift of 10-15% on the
-    # tunneled runtime; back-to-back calm runs repeat within ~0.3%).
-    # All three wall times are recorded (advisor r3: min alone hides the
-    # spread and inflates comparability with earlier single-shot rounds).
+    # Min-of-5 for the headline metric: the program and inputs are
+    # deterministic (identical evals and losses each run), so min wall
+    # isolates the chip from ambient link-latency spikes (measured
+    # hours-scale drift of 10-15% on the tunneled runtime; back-to-back
+    # calm runs repeat within ~0.3%). Each run is ~2 s, so two extra reps
+    # are cheap; secondary configs stay at min-of-3. All wall times are
+    # recorded (advisor r3: min alone hides the spread and inflates
+    # comparability with earlier single-shot rounds).
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         result = engine.optimize(phi_c, phi, epochs=args.epochs)
         walls.append(time.time() - t0)
@@ -201,7 +203,7 @@ def main():
         "vs_baseline": round(north_star_seconds / wallclock, 3),
         "wallclock_to_100_epochs_s": round(wallclock, 3),
         "wallclock_runs_s": [round(w, 3) for w in walls],
-        "wallclock_median_s": round(sorted(walls)[1], 3),
+        "wallclock_median_s": round(sorted(walls)[len(walls) // 2], 3),
         "epochs_done": int(result["epochs_done"]),
         "total_lbfgs_evals": total_iters,
         "final_loss": float(result["metrics"][-1, 0]),
